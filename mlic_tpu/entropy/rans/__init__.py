@@ -1,0 +1,7 @@
+from mlic_tpu.entropy.rans.coder import (  # noqa: F401
+    BufferedRansEncoder,
+    RansDecoder,
+    encode_with_indexes,
+    decode_with_indexes,
+    rans_backend,
+)

@@ -1,0 +1,301 @@
+"""Python interface to the native rANS coder (ctypes), with a numpy fallback.
+
+API mirrors what the reference uses from compressai's C++ extension
+(``BufferedRansEncoder.encode_with_indexes/flush`` and
+``RansDecoder.set_stream/decode_stream`` — reference
+``MLIC++/models/mlicpp.py:215,279-280,306-307``), but takes numpy arrays
+instead of Python lists: the TPU produces packed int32 arrays and we avoid
+the per-element ``tolist()`` churn of the reference's device↔host boundary.
+
+The native library is compiled on demand from ``rans.cpp`` with g++ and
+cached next to the source.  The ``_NumpyRans*`` classes implement the exact
+same stream format in vectorized-ish numpy and serve as both a fallback and
+a cross-check in tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "rans.cpp")
+_LIB = os.path.join(_HERE, "_librans.so")
+_build_lock = threading.Lock()
+
+PROB_BITS = 16
+_RANS_L = 1 << 31
+_BYPASS_BITS = 5
+_BYPASS_FREQ = 1 << (PROB_BITS - _BYPASS_BITS)
+_MASK16 = (1 << PROB_BITS) - 1
+
+
+def _build_native() -> str | None:
+    with _build_lock:
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            return _LIB
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB + ".tmp", _SRC],
+                check=True, capture_output=True,
+            )
+            os.replace(_LIB + ".tmp", _LIB)
+            return _LIB
+        except Exception:
+            return None
+
+
+def _load_native():
+    path = _build_native()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.mlic_rans_encode.restype = ctypes.c_int64
+    lib.mlic_rans_encode.argtypes = [i32p, i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+                                     i32p, i32p, u8p, ctypes.c_int64]
+    lib.mlic_rans_decoder_new.restype = ctypes.c_void_p
+    lib.mlic_rans_decoder_new.argtypes = [u8p, ctypes.c_int64]
+    lib.mlic_rans_decoder_free.argtypes = [ctypes.c_void_p]
+    lib.mlic_rans_decode.restype = ctypes.c_int32
+    lib.mlic_rans_decode.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64, i32p,
+                                     ctypes.c_int64, i32p, i32p, i32p]
+    lib.mlic_rans_decode_all.restype = ctypes.c_int32
+    lib.mlic_rans_decode_all.argtypes = [u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
+                                         ctypes.c_int64, i32p, i32p, i32p]
+    return lib
+
+
+_NATIVE = _load_native()
+
+
+def rans_backend() -> str:
+    return "native" if _NATIVE is not None else "numpy"
+
+
+def _as_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a), dtype=np.int32)
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy implementation of the identical stream format (fallback + test
+# oracle for the native library).
+# ---------------------------------------------------------------------------
+class _NumpyEncoder:
+    def __init__(self):
+        self.x = _RANS_L
+        self.words: list[int] = []
+
+    def put(self, start: int, freq: int):
+        x = self.x
+        x_max = ((_RANS_L >> PROB_BITS) << 32) * freq
+        while x >= x_max:
+            self.words.append(x & 0xFFFFFFFF)
+            x >>= 32
+        self.x = ((x // freq) << PROB_BITS) + (x % freq) + start
+
+    def put_escape_payload(self, value: int, max_value: int):
+        u = -2 * value - 1 if value < 0 else 2 * (value - max_value)
+        digits = []
+        while True:
+            digits.append(u & 0xF)
+            u >>= 4
+            if u == 0:
+                break
+        for i in range(len(digits) - 1, -1, -1):
+            s5 = digits[i] | (0x10 if i + 1 < len(digits) else 0)
+            self.put(s5 << (PROB_BITS - _BYPASS_BITS), _BYPASS_FREQ)
+
+    def flush(self) -> bytes:
+        words = [self.x & 0xFFFFFFFF, (self.x >> 32) & 0xFFFFFFFF] + self.words[::-1]
+        return np.asarray(words, dtype=np.uint32).tobytes()
+
+
+class _NumpyDecoder:
+    def __init__(self, stream: bytes):
+        self.words = np.frombuffer(stream[: len(stream) // 4 * 4], dtype=np.uint32)
+        self.pos = 0
+        lo = int(self.words[0]) if len(self.words) > 0 else 0
+        hi = int(self.words[1]) if len(self.words) > 1 else 0
+        self.pos = min(2, len(self.words))
+        self.x = (hi << 32) | lo
+
+    def _renorm(self):
+        while self.x < _RANS_L and self.pos < len(self.words):
+            self.x = (self.x << 32) | int(self.words[self.pos])
+            self.pos += 1
+
+    def advance(self, start: int, freq: int):
+        cf = self.x & _MASK16
+        self.x = freq * (self.x >> PROB_BITS) + cf - start
+        self._renorm()
+
+    def get_bypass5(self) -> int:
+        s5 = (self.x & _MASK16) >> (PROB_BITS - _BYPASS_BITS)
+        self.advance(s5 << (PROB_BITS - _BYPASS_BITS), _BYPASS_FREQ)
+        return s5
+
+    def get_escape_payload(self, max_value: int) -> int:
+        u = 0
+        shift = 0
+        while True:
+            s5 = self.get_bypass5()
+            u |= (s5 & 0xF) << shift
+            shift += 4
+            if not (s5 & 0x10):
+                break
+        if u & 1:
+            return -((u + 1) >> 1)
+        return (u >> 1) + max_value
+
+    def decode(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+        indexes = _as_i32(indexes).ravel()
+        out = np.empty(len(indexes), dtype=np.int32)
+        for k, i in enumerate(indexes):
+            row = cdfs[i]
+            length = int(cdf_lengths[i])
+            max_value = length - 2
+            cf = self.x & _MASK16
+            slot = int(np.searchsorted(row[:length], cf, side="right")) - 1
+            self.advance(int(row[slot]), int(row[slot + 1] - row[slot]))
+            value = self.get_escape_payload(max_value) if slot == max_value else slot
+            out[k] = value + int(offsets[i])
+        return out
+
+
+def _numpy_encode(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
+    symbols = _as_i32(symbols).ravel()
+    indexes = _as_i32(indexes).ravel()
+    enc = _NumpyEncoder()
+    for k in range(len(symbols) - 1, -1, -1):
+        i = int(indexes[k])
+        row = cdfs[i]
+        length = int(cdf_lengths[i])
+        max_value = length - 2
+        value = int(symbols[k]) - int(offsets[i])
+        if 0 <= value < max_value:
+            slot = value
+        else:
+            enc.put_escape_payload(value, max_value)
+            slot = max_value
+        enc.put(int(row[slot]), int(row[slot + 1] - row[slot]))
+    return enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
+    """Encode int32 symbols addressed by per-symbol CDF rows; returns bytes."""
+    symbols = _as_i32(symbols).ravel()
+    indexes = _as_i32(indexes).ravel()
+    cdfs = _as_i32(cdfs)
+    cdf_lengths = _as_i32(cdf_lengths).ravel()
+    offsets = _as_i32(offsets).ravel()
+    if cdfs.ndim != 2:
+        raise ValueError("cdfs must be 2-D [n_ctx, max_len]")
+    if _NATIVE is None:
+        return _numpy_encode(symbols, indexes, cdfs, cdf_lengths, offsets)
+    n = len(symbols)
+    capacity = 16 * max(n, 1) + 64
+    while True:
+        out = np.empty(capacity, dtype=np.uint8)
+        written = _NATIVE.mlic_rans_encode(
+            _i32p(symbols), _i32p(indexes), n, _i32p(cdfs), cdfs.shape[1],
+            _i32p(cdf_lengths), _i32p(offsets),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), capacity)
+        if written >= 0:
+            return out[:written].tobytes()
+        capacity *= 4
+
+
+def decode_with_indexes(stream: bytes, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+    """One-shot decode of len(indexes) symbols from a stream."""
+    dec = RansDecoder()
+    dec.set_stream(stream)
+    return dec.decode_stream(indexes, cdfs, cdf_lengths, offsets)
+
+
+class BufferedRansEncoder:
+    """Accumulates (symbols, indexes) chunks; encodes everything at flush().
+
+    Matches the reference's usage pattern where all slices of a latent are
+    buffered and emitted as one stream (reference MLIC++/models/mlicpp.py:215-280).
+    """
+
+    def __init__(self):
+        self._symbols: list[np.ndarray] = []
+        self._indexes: list[np.ndarray] = []
+
+    def encode_with_indexes(self, symbols, indexes, cdfs=None, cdf_lengths=None, offsets=None):
+        # cdf args accepted for API parity; tables are supplied at flush().
+        self._symbols.append(_as_i32(symbols).ravel())
+        self._indexes.append(_as_i32(indexes).ravel())
+        if cdfs is not None:
+            self._cdfs, self._cdf_lengths, self._offsets = cdfs, cdf_lengths, offsets
+
+    def flush(self, cdfs=None, cdf_lengths=None, offsets=None) -> bytes:
+        if cdfs is None:
+            cdfs, cdf_lengths, offsets = self._cdfs, self._cdf_lengths, self._offsets
+        symbols = np.concatenate(self._symbols) if self._symbols else np.empty(0, np.int32)
+        indexes = np.concatenate(self._indexes) if self._indexes else np.empty(0, np.int32)
+        self._symbols, self._indexes = [], []
+        return encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
+
+
+class RansDecoder:
+    """Streaming decoder: set_stream() once, decode_stream() repeatedly."""
+
+    def __init__(self):
+        self._handle = None
+        self._np = None
+        self._buf = None
+
+    def set_stream(self, stream: bytes):
+        self.close()
+        if _NATIVE is None:
+            self._np = _NumpyDecoder(stream)
+        else:
+            self._buf = np.frombuffer(stream, dtype=np.uint8)
+            if len(self._buf) == 0:
+                self._buf = np.zeros(8, dtype=np.uint8)
+            self._handle = _NATIVE.mlic_rans_decoder_new(
+                self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(self._buf))
+
+    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+        indexes = _as_i32(indexes).ravel()
+        cdfs = _as_i32(cdfs)
+        cdf_lengths = _as_i32(cdf_lengths).ravel()
+        offsets = _as_i32(offsets).ravel()
+        if self._np is not None:
+            return self._np.decode(indexes, cdfs, cdf_lengths, offsets)
+        if self._handle is None:
+            raise RuntimeError("set_stream() must be called first")
+        out = np.empty(len(indexes), dtype=np.int32)
+        rc = _NATIVE.mlic_rans_decode(
+            ctypes.c_void_p(self._handle), _i32p(indexes), len(indexes), _i32p(cdfs),
+            cdfs.shape[1], _i32p(cdf_lengths), _i32p(offsets), _i32p(out))
+        if rc != 0:
+            raise RuntimeError(f"rANS decode failed with code {rc}")
+        return out
+
+    def close(self):
+        if self._handle is not None:
+            _NATIVE.mlic_rans_decoder_free(ctypes.c_void_p(self._handle))
+            self._handle = None
+        self._np = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
