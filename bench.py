@@ -1,0 +1,96 @@
+"""Benchmark: Kodak-size (768x512) enc+dec throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline is the repo north-star (BASELINE.json): >= 20 Kodak 768x512
+images/sec/chip enc+dec on TPU v5e.  The reference publishes no wall-clock
+numbers (BASELINE.md), so vs_baseline is measured against that target.
+
+Runs on whatever accelerator jax exposes (the driver provides one real TPU
+chip); uses synthetic Kodak-shaped images (no dataset egress in this env).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mlic_tpu.codec import Codec
+    from mlic_tpu.data.folder import synthetic_batches
+    from mlic_tpu.models.registry import get_model
+
+    verbose = os.environ.get("BENCH_VERBOSE", "0") == "1"
+
+    def vlog(*a):
+        if verbose:
+            print(*a, file=sys.stderr, flush=True)
+
+    model_name = os.environ.get("BENCH_MODEL", "MLICPP_S")
+    n_images = int(os.environ.get("BENCH_IMAGES", "6"))
+    h, w = 512, 768  # Kodak portrait/landscape canonical size
+
+    model = get_model(model_name)
+    rng = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+    # init at the coding size so no extra compile of g_a at another shape
+    x0 = jnp.zeros((1, h, w, 3), jnp.float32)
+    t = time.perf_counter()
+    params = jax.jit(lambda r, v: model.init(r, v, True))(rng, x0)["params"]
+    jax.block_until_ready(params)
+    vlog(f"init: {time.perf_counter()-t:.1f}s")
+
+    codec = Codec(model, params)
+    t = time.perf_counter()
+    codec.update()
+    vlog(f"update: {time.perf_counter()-t:.1f}s")
+
+    images = [jnp.asarray(b[:1]) for b in synthetic_batches(1, 1, steps=0)]
+    images = []
+    gen = synthetic_batches(1, 64, steps=n_images + 1, seed=7)
+    for b in gen:
+        # synthetic_batches yields square patches; tile to Kodak shape
+        img = np.tile(b[0], (h // 64 + 1, w // 64 + 1, 1))[:h, :w, :]
+        images.append(jnp.asarray(img[None]))
+
+    # Warmup: compile encode+decode paths.
+    t = time.perf_counter()
+    enc = codec.compress(images[0])
+    vlog(f"compress warmup: {time.perf_counter()-t:.1f}s")
+    t = time.perf_counter()
+    dec = codec.decompress(enc["strings"], enc["shape"])
+    jax.block_until_ready(dec["x_hat"])
+    vlog(f"decompress warmup: {time.perf_counter()-t:.1f}s")
+
+    t0 = time.perf_counter()
+    total_bits = 0
+    for img in images[1:]:
+        enc = codec.compress(img)
+        total_bits += 8 * sum(len(s[0]) for s in enc["strings"])
+        dec = codec.decompress(enc["strings"], enc["shape"])
+        jax.block_until_ready(dec["x_hat"])
+    elapsed = time.perf_counter() - t0
+    n = len(images) - 1
+    imgs_per_sec = n / elapsed
+    bpp = total_bits / (n * h * w)
+
+    result = {
+        "metric": f"kodak_768x512_encdec_images_per_sec_per_chip[{model_name}]",
+        "value": round(imgs_per_sec, 4),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / 20.0, 4),
+        "extra": {"bpp_random_init": round(bpp, 4), "n_images": n,
+                  "device": str(jax.devices()[0])},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

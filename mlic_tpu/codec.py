@@ -1,0 +1,189 @@
+"""Codec driver: ties the jitted model programs to the host rANS coder.
+
+Equivalent of the reference's ``compress``/``decompress``/``update`` methods
+(``MLIC++/models/mlicpp.py:199-378,470-475``) restructured for TPU:
+
+* ``compress``: one jitted ``analyze`` pass (g_a + h_a + z quantization),
+  then the shared ``codec_pass`` program whose ordered host callbacks buffer
+  the per-phase symbols; a single rANS flush packs the y stream.
+* ``decompress``: host-decodes z, then runs the *same compiled*
+  ``codec_pass`` with decode-mode callbacks — entropy parameters are
+  bit-exact between the two sides by construction.
+* ``update``: rebuilds the integer CDF tables (factorized prior from the
+  learned quantiles, conditional Gaussian from the scale table).
+
+The device↔host boundary transfers packed int32 arrays, 2 per slice — the
+crossing count of the reference but without its per-element ``tolist()``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlic_tpu.entropy.cdf import get_scale_table
+from mlic_tpu.entropy.models import (
+    GaussianConditionalTables,
+    entropy_bottleneck_tables,
+)
+from mlic_tpu.entropy.rans import BufferedRansEncoder, RansDecoder, encode_with_indexes, decode_with_indexes
+from mlic_tpu.models.mlicpp import MLICPlusPlus
+
+
+class _ExchangeState:
+    """Mutable host-side state consulted by the codec_pass callbacks.
+
+    One instance per Codec; mode flips between 'encode' and 'decode' so the
+    jitted program (which closes over the bound callback) never retraces.
+    """
+
+    def __init__(self):
+        self.mode = "idle"
+        self.encoder_chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self.decoder: Optional[RansDecoder] = None
+        self.gc_cdfs = None
+        self.gc_lengths = None
+        self.gc_offsets = None
+
+    def exchange(self, tag: str, indexes, candidate):
+        indexes = np.asarray(indexes)
+        candidate = np.asarray(candidate)
+        if self.mode == "encode":
+            self.encoder_chunks.append((candidate.ravel(), indexes.ravel()))
+            return candidate
+        elif self.mode == "decode":
+            symbols = self.decoder.decode_stream(
+                indexes.ravel(), self.gc_cdfs, self.gc_lengths, self.gc_offsets)
+            return symbols.reshape(indexes.shape).astype(np.int32)
+        raise RuntimeError(f"exchange called in mode {self.mode!r} (tag {tag})")
+
+
+class Codec:
+    """compress()/decompress() driver around a trained MLICPlusPlus."""
+
+    def __init__(self, model: MLICPlusPlus, params: Any):
+        self.model = model
+        self.params = params
+        self._x = _ExchangeState()
+        self._gc: Optional[GaussianConditionalTables] = None
+        self._eb = None  # (cdfs, lengths, offsets, medians)
+
+        self._analyze = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x,
+                                          method=MLICPlusPlus.analyze))
+        self.is_vbr = bool(getattr(model.cfg, "vbr", False))
+        if self.is_vbr:
+            from mlic_tpu.models.vbr import MLICPlusPlusVbr
+            # level s / inputscale are traced: one compiled graph, all rates.
+            self._codec_pass_vbr = jax.jit(
+                lambda p, y, zs, s, iscale: self.model.apply(
+                    {"params": p}, y, zs, self._x.exchange, s, iscale,
+                    method=MLICPlusPlusVbr.codec_pass))
+            self._codec_pass = lambda p, y, zs: self._codec_pass_vbr(
+                p, y, zs, self._level, self._inputscale)
+        else:
+            self._codec_pass = jax.jit(
+                lambda p, y, zs: self.model.apply({"params": p}, y, zs,
+                                                  self._x.exchange,
+                                                  method=MLICPlusPlus.codec_pass))
+        self._level = jnp.asarray(0, jnp.int32)
+        self._inputscale = jnp.asarray(0.0, jnp.float32)
+
+    # ------------------------------------------------------------------
+    def update(self, scale_table: np.ndarray | None = None, force: bool = True):
+        """Rebuild integer CDF tables (reference ``mlicpp.py:470-475``)."""
+        if self._gc is not None and not force:
+            return False
+        self._gc = GaussianConditionalTables.create(
+            scale_table if scale_table is not None else get_scale_table())
+        eb_params = jax.tree.map(np.asarray, self.params["entropy_bottleneck"])
+        self._eb = entropy_bottleneck_tables(eb_params, self.model.cfg.N)
+        self._x.gc_cdfs = self._gc.quantized_cdf
+        self._x.gc_lengths = self._gc.cdf_length
+        self._x.gc_offsets = self._gc.offset
+        return True
+
+    def _require_tables(self):
+        if self._gc is None or self._eb is None:
+            self.update()
+
+    # ------------------------------------------------------------------
+    def compress(self, x, s: int = 0, inputscale: float = 0.0) -> dict:
+        """x: [1,H,W,3] float in [0,1], H and W multiples of 64.
+
+        For VBR models, ``s`` selects the gain level and ``inputscale`` (>0)
+        overrides it with a continuous rate (reference
+        ``mlicpp_vbr.py:535``); both are traced scalars — no recompile.
+        """
+        self._require_tables()
+        b = x.shape[0]
+        if b != 1:
+            raise NotImplementedError("codec operates per image (B=1)")
+        self._level = jnp.asarray(s, jnp.int32)
+        self._inputscale = jnp.asarray(inputscale, jnp.float32)
+        t0 = time.perf_counter()
+        y, z_symbols = self._analyze(self.params, jnp.asarray(x, jnp.float32))
+
+        # z: factorized-prior coding, per-channel CDF rows.
+        z_np = np.asarray(z_symbols)
+        eb_cdfs, eb_lengths, eb_offsets, _ = self._eb
+        z_indexes = np.broadcast_to(
+            np.arange(z_np.shape[-1], dtype=np.int32), z_np.shape)
+        z_string = encode_with_indexes(z_np.ravel(), z_indexes.ravel(),
+                                       eb_cdfs, eb_lengths, eb_offsets)
+
+        # y: shared codec program in encode mode.
+        self._x.mode = "encode"
+        self._x.encoder_chunks = []
+        x_hat, y_hat = self._codec_pass(self.params, y, z_symbols)
+        jax.block_until_ready(x_hat)
+        self._x.mode = "idle"
+        symbols = np.concatenate([c[0] for c in self._x.encoder_chunks])
+        indexes = np.concatenate([c[1] for c in self._x.encoder_chunks])
+        y_string = encode_with_indexes(symbols, indexes, self._gc.quantized_cdf,
+                                       self._gc.cdf_length, self._gc.offset)
+        cost_time = time.perf_counter() - t0
+        return {
+            "strings": [[y_string], [z_string]],
+            "shape": (int(z_np.shape[1]), int(z_np.shape[2])),
+            "cost_time": cost_time,
+            "x_hat": x_hat,   # encode-side reconstruction (free byproduct)
+            "y_hat": y_hat,
+        }
+
+    # ------------------------------------------------------------------
+    def decompress(self, strings, shape, s: int = 0, inputscale: float = 0.0) -> dict:
+        """strings: [[y_string], [z_string]]; shape: (h/4, w/4) of z."""
+        self._require_tables()
+        self._level = jnp.asarray(s, jnp.int32)
+        self._inputscale = jnp.asarray(inputscale, jnp.float32)
+        t0 = time.perf_counter()
+        y_string = strings[0][0]
+        z_string = strings[1][0]
+        zh, zw = shape
+        n_ch = self.model.cfg.N
+
+        eb_cdfs, eb_lengths, eb_offsets, _ = self._eb
+        z_indexes = np.broadcast_to(np.arange(n_ch, dtype=np.int32),
+                                    (1, zh, zw, n_ch))
+        z_symbols = decode_with_indexes(z_string, z_indexes.ravel(),
+                                        eb_cdfs, eb_lengths, eb_offsets)
+        z_symbols = jnp.asarray(z_symbols.reshape(1, zh, zw, n_ch), jnp.int32)
+
+        h, w = zh * 4, zw * 4
+        y_zero = jnp.zeros((1, h, w, self.model.cfg.M), jnp.float32)
+
+        self._x.mode = "decode"
+        self._x.decoder = RansDecoder()
+        self._x.decoder.set_stream(y_string)
+        x_hat, y_hat = self._codec_pass(self.params, y_zero, z_symbols)
+        jax.block_until_ready(x_hat)
+        self._x.mode = "idle"
+        self._x.decoder.close()
+        self._x.decoder = None
+        cost_time = time.perf_counter() - t0
+        return {"x_hat": x_hat, "y_hat": y_hat, "cost_time": cost_time}

@@ -36,41 +36,30 @@ def pmf_to_quantized_cdf(pmf: np.ndarray, precision: int = PRECISION) -> np.ndar
     if not np.all(np.isfinite(pmf)) or np.any(pmf < 0):
         raise ValueError("pmf must be finite and non-negative")
 
-    total_scale = 1 << precision
-    freqs = np.round(pmf * total_scale).astype(np.uint64)
-    total = int(freqs.sum())
-    if total == 0:
-        # Degenerate: spread uniformly.
-        freqs = np.ones_like(freqs)
-        total = int(freqs.sum())
+    total = 1 << precision
+    n = len(pmf)
+    if n > total:
+        raise ValueError("pmf longer than 2**precision")
+    mass = float(pmf.sum())
+    p = pmf / mass if mass > 0 else np.full(n, 1.0 / n)
 
-    # Rescale so the grand total is exactly 2**precision (integer floor div,
-    # then cumulative sum).
-    scaled = (freqs.astype(np.uint64) * np.uint64(total_scale)) // np.uint64(total)
-    cdf = np.zeros(len(pmf) + 1, dtype=np.int64)
-    np.cumsum(scaled, out=cdf[1:])
-    cdf[-1] = total_scale
+    # Largest-remainder quantization with a floor of 1 per symbol: every
+    # symbol keeps mass and the grand total is exact — fully vectorized
+    # (the reference's dependency repairs zeros with an O(n^2) steal loop).
+    budget = total - n
+    exact = p * budget
+    freqs = np.floor(exact).astype(np.int64)
+    remainder = int(budget - freqs.sum())
+    if remainder > 0:
+        frac = exact - freqs
+        # Deterministic: ties broken by index via stable argsort.
+        order = np.argsort(-frac, kind="stable")
+        freqs[order[:remainder]] += 1
+    freqs += 1  # the floor
 
-    # Repair zero-width symbols by stealing one unit from the currently
-    # smallest symbol with freq > 1 (keeps every interval non-empty).
-    n = len(cdf) - 1
-    for i in range(n):
-        if cdf[i] == cdf[i + 1]:
-            best_j = -1
-            best_freq = np.iinfo(np.int64).max
-            for j in range(n):
-                f = cdf[j + 1] - cdf[j]
-                if f > 1 and f < best_freq:
-                    best_freq = f
-                    best_j = j
-            if best_j < 0:
-                raise ValueError("cannot repair degenerate CDF")
-            if best_j < i:
-                cdf[best_j + 1 : i + 1] -= 1
-            else:
-                cdf[i + 1 : best_j + 1] += 1
-
-    assert cdf[0] == 0 and cdf[-1] == total_scale
+    cdf = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(freqs, out=cdf[1:])
+    assert cdf[0] == 0 and cdf[-1] == total
     assert np.all(np.diff(cdf) > 0)
     return cdf.astype(np.int32)
 

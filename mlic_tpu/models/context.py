@@ -1,0 +1,285 @@
+"""MEM++ multi-reference entropy-model context modules, NHWC / TPU-native.
+
+Reimplements the reference's ``MLIC++/modules/transform/context.py``:
+
+* ``LocalContext`` — checkerboard spatial context via masked intra-window
+  attention (``context.py:11-112``).  TPU redesign: instead of the
+  reference's stateful per-resolution mask cache (``update_resolution``,
+  ``context.py:43-65``), the checkerboard mask is derived inside the traced
+  function from iota as a rank-1 outer product; shapes are static under jit
+  so XLA constant-folds it.  The per-window ``fusion`` Conv2d(k=window)
+  becomes a Dense over the flattened window (identical math, MXU-friendly).
+* ``ChannelContext`` — channel-slice context convs (``context.py:115-138``).
+* ``LinearGlobalInterContext`` / ``LinearGlobalIntraContext`` — linear-
+  complexity global attention: softmax(K)ᵀ·V then ·softmax(Q)
+  (``context.py:140-245``).  The intra variant contracts on the *packed*
+  checkerboard grids — provably equal to the reference's unsqueeze-then-
+  contract because anchor/non-anchor supports are disjoint.
+* ``EntropyParameters`` (``entropy.py:7-29``) and
+  ``LatentResidualPrediction`` (``quantization.py:30-44``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mlic_tpu.models.layers import Conv3x3, MLP, conv1x1, conv5x5
+from mlic_tpu.ops.math import (
+    ckbd_anchor,
+    ckbd_anchor_squeeze,
+    ckbd_mask,
+    ckbd_nonanchor,
+    ckbd_nonanchor_squeeze,
+    ckbd_nonanchor_unsqueeze,
+)
+
+
+def extract_windows(x: jax.Array, window: int) -> jax.Array:
+    """[B,H,W,C] -> [B,H,W,window*window,C] zero-padded sliding windows.
+
+    Equivalent to the reference's ``nn.Unfold(kernel_size=w, stride=1,
+    padding=(w-1)//2)``; expressed as static shifted slices that XLA fuses.
+    """
+    p = (window - 1) // 2
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    slices = [
+        xp[:, i:i + h, j:j + w, :]
+        for i in range(window)
+        for j in range(window)
+    ]
+    return jnp.stack(slices, axis=3)
+
+
+def window_anchor_map(h: int, w: int, window: int) -> jax.Array:
+    """[H*W, window^2] float map: 1 where the window slot lands on an
+    in-bounds anchor position (zero padding outside, like Unfold)."""
+    m = ckbd_mask(h, w)[None, :, :, None]
+    return extract_windows(m, window).reshape(h * w, window * window)
+
+
+def _relative_position_index(window: int) -> np.ndarray:
+    """Swin-style [w^2, w^2] index into a (2w-1)^2 bias table
+    (reference ``modules/layers/attention.py:28-39``)."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))          # [2, w, w]
+    flat = coords.reshape(2, -1)                            # [2, w^2]
+    rel = flat[:, :, None] - flat[:, None, :]               # [2, w^2, w^2]
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)
+
+
+class LocalContext(nn.Module):
+    """Masked window attention over the decoded anchor half of a slice.
+
+    Input: slice_anchor [B,H,W,C] (non-anchor positions are zero).
+    Output: spatial context [B,H,W,2C] for the non-anchor phase.
+    """
+
+    dim: int
+    window_size: int = 5
+    num_heads: int = 2
+    mlp_ratio: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        assert c == self.dim
+        win = self.window_size
+        ws2 = win * win
+        heads = self.num_heads
+        hd = c // heads
+        scale = hd ** -0.5
+        L = h * w
+
+        xn = nn.LayerNorm(name="norm1")(x)
+        qkv = nn.Dense(3 * c, name="qkv")(xn).reshape(b, h, w, 3, c)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+
+        def windows(t):
+            return extract_windows(t, win).reshape(b, L, ws2, heads, hd)
+
+        qw, kw, vw = windows(q), windows(k), windows(v)
+
+        attn = jnp.einsum("blihd,bljhd->blhij", qw * scale, kw)
+
+        rel_table = self.param(
+            "rel_pos_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * win - 1) * (2 * win - 1), heads))
+        rel_idx = _relative_position_index(win)  # [ws2, ws2] static
+        bias = rel_table[rel_idx.reshape(-1)].reshape(ws2, ws2, heads)
+        attn = attn + bias.transpose(2, 0, 1)[None, None]
+
+        # Checkerboard mask: only (anchor query, anchor key) pairs attend
+        # (reference builds this as outer(unfold(ckbd), unfold(ckbd)),
+        # context.py:52-63).  Rank-1, so never materialized outside VMEM.
+        a = window_anchor_map(h, w, win)  # [L, ws2]
+        mask = -100.0 * (1.0 - a[:, :, None] * a[:, None, :])
+        attn = attn + mask[None, :, None]
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("blhij,bljhd->blihd", attn, vw)
+        out = out.reshape(b, L, ws2 * c)
+
+        # Per-window fusion conv(k=win) == Dense over the flattened window.
+        out = nn.Dense(2 * c, name="fusion")(out)
+        out = nn.Dense(2 * c, name="proj")(out)
+        out = out + MLP(int(2 * c * self.mlp_ratio), 2 * c,
+                        name="mlp")(nn.LayerNorm(name="norm2")(out))
+        return out.reshape(b, h, w, 2 * c)
+
+
+class ChannelContext(nn.Module):
+    """Decoded-slices -> channel context [B,H,W,4*out] (``context.py:115-138``)."""
+
+    out_dim: int
+    hidden: tuple[int, int] = (192, 128)
+    depthwise: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv3x3(self.hidden[0], 1, self.depthwise, name="c0")(x)
+        x = nn.gelu(x)
+        x = Conv3x3(self.hidden[1], 1, self.depthwise, name="c1")(x)
+        x = nn.gelu(x)
+        return Conv3x3(self.out_dim * 4, 1, self.depthwise, name="c2")(x)
+
+
+class _QKVConv(nn.Module):
+    """1x1 conv + 3x3 depthwise conv (``context.py:148-159``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv1x1(self.dim, name="pw")(x)
+        return nn.Conv(self.dim, (3, 3), padding="SAME",
+                       feature_group_count=self.dim, name="dw")(x)
+
+
+def _linear_attention(q, k, v, num_heads):
+    """softmax(K over space)ᵀ·V, then ·softmax(Q over head-channels).
+
+    q,k,v: [B, N, C].  Returns [B, N, C].  O(N·d²) instead of O(N²·d).
+    """
+    b, n, c = q.shape
+    hd = c // num_heads
+    q = q.reshape(b, n, num_heads, hd)
+    k = k.reshape(b, n, num_heads, hd)
+    v = v.reshape(b, n, num_heads, hd)
+    k = jax.nn.softmax(k, axis=1)       # over spatial positions
+    q = jax.nn.softmax(q, axis=3)       # over channels within head
+    ctx = jnp.einsum("bnhd,bnhe->bhde", k, v)
+    out = jnp.einsum("bhde,bnhd->bnhe", ctx, q)
+    return out.reshape(b, n, c)
+
+
+class LinearGlobalInterContext(nn.Module):
+    """Global attention across previously decoded slices (``context.py:195-245``)."""
+
+    dim: int
+    out_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        q = _QKVConv(self.dim, name="queries")(x).reshape(b, h * w, c)
+        k = _QKVConv(self.dim, name="keys")(x).reshape(b, h * w, c)
+        v = _QKVConv(self.dim, name="values")(x).reshape(b, h * w, c)
+        att = _linear_attention(q, k, v, self.num_heads).reshape(b, h, w, c)
+        att = conv5x5(self.out_dim * 3 // 2, 1, name="reprojection")(att)
+        mlp = conv1x1(self.out_dim * 2, name="mlp0")(att)
+        mlp = nn.gelu(mlp)
+        mlp = nn.Conv(self.out_dim * 2, (3, 3), padding="SAME",
+                      feature_group_count=self.out_dim * 2, name="mlp1")(mlp)
+        mlp = nn.gelu(mlp)
+        mlp = conv1x1(self.out_dim, name="mlp2")(mlp)
+        skip = conv1x1(self.out_dim, name="skip")(att)
+        return skip + mlp
+
+
+class LinearGlobalIntraContext(nn.Module):
+    """Global context within the current slice: non-anchor queries attend to
+    the previous slice's anchor keys, with the current anchor as values
+    (``context.py:140-193``).
+
+    The contraction runs on packed half-width grids — equal to the
+    reference's full-grid form because softmaxed keys/values are zero off
+    the anchor support and queries zero off the non-anchor support.
+    """
+
+    dim: int
+    num_heads: int = 2
+
+    @nn.compact
+    def __call__(self, x_prev, x_anchor):
+        b, h, w, c = x_prev.shape
+        n2 = h * w // 2
+        q = _QKVConv(self.dim, name="queries")(ckbd_nonanchor(x_prev))
+        k = _QKVConv(self.dim, name="keys")(ckbd_anchor(x_prev))
+        v = _QKVConv(self.dim, name="values")(x_anchor)
+        q = ckbd_nonanchor_squeeze(q).reshape(b, n2, c)
+        k = ckbd_anchor_squeeze(k).reshape(b, n2, c)
+        v = ckbd_anchor_squeeze(v).reshape(b, n2, c)
+        att = _linear_attention(q, k, v, self.num_heads)
+        att = ckbd_nonanchor_unsqueeze(att.reshape(b, h, w // 2, c))
+        att = conv5x5(self.dim * 2, 1, name="reprojection")(att)
+        mlp = conv1x1(self.dim * 4, name="mlp0")(att)
+        mlp = nn.gelu(mlp)
+        mlp = nn.Conv(self.dim * 4, (3, 3), padding="SAME",
+                      feature_group_count=self.dim * 4, name="mlp1")(mlp)
+        mlp = nn.gelu(mlp)
+        mlp = conv1x1(self.dim * 2, name="mlp2")(mlp)
+        return att + mlp
+
+
+class EntropyParameters(nn.Module):
+    """Fuse contexts -> (scales, means), stacked 1x1 convs (``entropy.py:7-29``)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = conv1x1(320, name="c0")(x)
+        x = nn.gelu(x)
+        x = conv1x1(256, name="c1")(x)
+        x = nn.gelu(x)
+        x = conv1x1(128, name="c2")(x)
+        x = nn.gelu(x)
+        return conv1x1(self.out_dim, name="c3")(x)
+
+
+class LatentResidualPrediction(nn.Module):
+    """Predict the rounding residual, 0.5*tanh bounded
+    (``quantization.py:30-44``; Minnen'20 LRP)."""
+
+    out_dim: int
+    depthwise: bool = True
+    old_wide: bool = False  # LatentResidualPredictionOld (``quantization.py:9-28``)
+    in_dim: int = 0         # only needed when old_wide=True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.old_wide:
+            diff = abs(self.out_dim - self.in_dim)
+            dims = [self.in_dim - diff // 4, self.in_dim - diff // 2,
+                    self.in_dim - diff * 3 // 4, self.out_dim]
+            for i, d in enumerate(dims):
+                x = Conv3x3(d, 1, self.depthwise, name=f"c{i}")(x)
+                if i + 1 < len(dims):
+                    x = nn.gelu(x)
+        else:
+            x = Conv3x3(224, 1, self.depthwise, name="c0")(x)
+            x = nn.gelu(x)
+            x = Conv3x3(128, 1, self.depthwise, name="c1")(x)
+            x = nn.gelu(x)
+            x = Conv3x3(self.out_dim, 1, self.depthwise, name="c2")(x)
+        return 0.5 * jnp.tanh(x)

@@ -1,0 +1,237 @@
+"""NN layer primitives, NHWC / TPU-native (Flax linen).
+
+Reimplements the reference's ``modules/layers/`` (conv factories, GDN
+residual blocks, MLP — reference ``MLIC++/modules/layers/conv.py``,
+``res_blk.py``, ``attention.py``) in channels-last layout so convolutions
+map directly onto the MXU.  ``conv3x3`` defaults to depthwise-separable,
+matching the fork's low-MAC variants (``conv.py:22-32``); pass
+``depthwise=False`` for the dense-conv twins (the ``*_old`` modules).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mlic_tpu.ops.math import lower_bound
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """3x3 depthwise + 1x1 pointwise (reference ``conv.py:46-64``)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        x = nn.Conv(in_ch, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    feature_group_count=in_ch, dtype=self.dtype,
+                    name="depth")(x)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="point")(x)
+        return x
+
+
+def conv1x1(features: int, stride: int = 1, dtype=None, name=None) -> nn.Module:
+    return nn.Conv(features, (1, 1), strides=(stride, stride), dtype=dtype, name=name)
+
+
+def conv5x5(features: int, stride: int = 2, dtype=None, name=None) -> nn.Module:
+    return nn.Conv(features, (5, 5), strides=(stride, stride), padding="SAME",
+                   dtype=dtype, name=name)
+
+
+class Conv3x3(nn.Module):
+    """conv3x3 factory: depthwise-separable by default (``conv.py:22-32``)."""
+
+    features: int
+    stride: int = 1
+    depthwise: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.depthwise:
+            return DepthwiseSeparableConv(self.features, 3, self.stride,
+                                          dtype=self.dtype, name="dw")(x)
+        return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                       padding="SAME", dtype=self.dtype, name="conv")(x)
+
+
+def deconv5x5(features: int, stride: int = 2, dtype=None, name=None) -> nn.Module:
+    """Transposed 5x5 conv (geometry of reference ``conv.py:35-44``)."""
+    return nn.ConvTranspose(features, (5, 5), strides=(stride, stride),
+                            padding="SAME", dtype=dtype, name=name)
+
+
+class SubpelConv3x3(nn.Module):
+    """3x3 conv to r^2x channels + pixel shuffle (compressai ``subpel_conv3x3``)."""
+
+    features: int
+    upscale: int = 2
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upscale
+        x = nn.Conv(self.features * r * r, (3, 3), padding="SAME",
+                    dtype=self.dtype, name="conv")(x)
+        b, h, w, _ = x.shape
+        # torch PixelShuffle channel order: (c, rh, rw)
+        x = x.reshape(b, h, w, self.features, r, r)
+        x = x.transpose(0, 1, 4, 2, 5, 3)  # b h rh w rw c
+        return x.reshape(b, h * r, w * r, self.features)
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization, channels-last.
+
+    y_c = x_c / sqrt(beta_c + sum_d gamma_{cd} x_d^2)  (inverse: multiply).
+    Nonnegativity via the sqrt-reparam + lower-bound trick so the parameters
+    stay positive under unconstrained optimization.
+    """
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    _offset: float = 2.0 ** -18
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        ped = self._offset ** 2
+        beta_bound = (self.beta_min + ped) ** 0.5
+        gamma_bound = ped ** 0.5
+
+        beta_raw = self.param("beta", lambda k, s: jnp.full(s, (1.0 + ped) ** 0.5), (c,))
+        gamma_raw = self.param(
+            "gamma", lambda k, s: jnp.sqrt(self.gamma_init * jnp.eye(c) + ped), (c, c))
+
+        beta = lower_bound(beta_raw, beta_bound) ** 2 - ped
+        gamma = lower_bound(gamma_raw, gamma_bound) ** 2 - ped
+
+        norm = jnp.einsum("bhwd,dc->bhwc", jnp.square(x), gamma) + beta
+        if self.inverse:
+            return x * jnp.sqrt(norm)
+        return x * jax.lax.rsqrt(norm)
+
+
+class ResidualBlockWithStride(nn.Module):
+    """conv3x3(s) - GELU - conv3x3 - GDN + 1x1 strided skip
+    (reference ``res_blk.py:62-93``)."""
+
+    features: int
+    stride: int = 2
+    depthwise: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        out = Conv3x3(self.features, self.stride, self.depthwise, name="conv1")(x)
+        out = nn.gelu(out)
+        out = Conv3x3(self.features, 1, self.depthwise, name="conv2")(out)
+        out = GDN(name="gdn")(out)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = conv1x1(self.features, self.stride, name="skip")(x)
+        return out + x
+
+
+class ResidualBlockUpsample(nn.Module):
+    """subpel - GELU - conv3x3 - IGDN + subpel skip (``res_blk.py:96-121``)."""
+
+    features: int
+    upsample: int = 2
+    depthwise: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        out = SubpelConv3x3(self.features, self.upsample, name="subpel")(x)
+        out = nn.gelu(out)
+        out = Conv3x3(self.features, 1, self.depthwise, name="conv")(out)
+        out = GDN(inverse=True, name="igdn")(out)
+        skip = SubpelConv3x3(self.features, self.upsample, name="upsample")(x)
+        return out + skip
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 - GELU - conv3x3 - GELU + skip (``res_blk.py:124-154``)."""
+
+    features: int
+    depthwise: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        out = Conv3x3(self.features, 1, self.depthwise, name="conv1")(x)
+        out = nn.gelu(out)
+        out = Conv3x3(self.features, 1, self.depthwise, name="conv2")(out)
+        out = nn.gelu(out)
+        if x.shape[-1] != self.features:
+            x = conv1x1(self.features, name="skip")(x)
+        return out + x
+
+
+class ResidualBottleneck(nn.Module):
+    """1x1 down - act - 3x3 - act - 1x1 up + skip (``res_blk.py:157-171``)."""
+
+    features: int
+    act: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.features
+        out = conv1x1(n // 2, name="reduce")(x)
+        out = self.act(out)
+        out = nn.Conv(n // 2, (3, 3), padding="SAME", name="conv")(out)
+        out = self.act(out)
+        out = conv1x1(n, name="expand")(out)
+        return x + out
+
+
+class AttentionBlock(nn.Module):
+    """Cheng'20 sigmoid-gated dual-branch attention (``res_blk.py:8-59``).
+
+    Defined for parity; not used inside the MLIC++ transforms.
+    """
+
+    features: int
+    depthwise: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.features
+
+        def unit(h, name):
+            out = conv1x1(n // 2, name=f"{name}_in")(h)
+            out = nn.gelu(out)
+            out = Conv3x3(n // 2, 1, self.depthwise, name=f"{name}_mid")(out)
+            out = nn.gelu(out)
+            out = conv1x1(n, name=f"{name}_out")(out)
+            return nn.gelu(h + out)
+
+        a = x
+        for i in range(3):
+            a = unit(a, f"a{i}")
+        b = x
+        for i in range(3):
+            b = unit(b, f"b{i}")
+        b = conv1x1(n, name="b_proj")(b)
+        return x + a * nn.sigmoid(b)
+
+
+class MLP(nn.Module):
+    """Linear - GELU - Linear (reference ``attention.py:8-25``; dropout elided
+    — the reference always instantiates it with drop=0)."""
+
+    hidden: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.features, name="fc2")(x)

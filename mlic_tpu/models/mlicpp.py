@@ -1,0 +1,301 @@
+"""MLIC++: linear-complexity multi-reference entropy model codec, TPU-native.
+
+Reimplements the reference ``MLIC++/models/mlicpp.py`` (MLICPlusPlus) as a
+Flax module in NHWC with three entry points:
+
+* ``__call__`` — the training forward (noise-quantized z likelihoods, STE
+  rounding, per-slice checkerboard + channel + global contexts); mirrors
+  reference ``mlicpp.py:79-185``.
+* ``codec_pass`` — the real-coding program shared by BOTH compress and
+  decompress.  The reference runs the same eager module calls in its
+  ``compress``/``decompress`` loops (``mlicpp.py:199-378``); under XLA we
+  get the equivalent guarantee by compiling ONE program whose per-phase
+  symbol exchange happens through an ordered host callback: in encode mode
+  the host buffers the device-computed symbols for rANS packing, in decode
+  mode it returns rANS-decoded symbols.  Same compiled executable ⇒ the
+  entropy parameters computed on the encode and decode side are bit-exact.
+* ``net_decoder_forward`` — decode-complexity proxy (``mlicpp.py:380-459``)
+  used for MACs accounting.
+
+Unlike the reference there is no ``update_resolutions`` statefulness: the
+checkerboard attention mask is derived from iota inside the traced program
+(see ``models/context.py``) and shapes are static per compiled graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.experimental import io_callback
+
+from mlic_tpu.entropy.cdf import get_scale_table
+from mlic_tpu.entropy.models import EntropyBottleneck, build_indexes, gaussian_likelihood
+from mlic_tpu.models.config import ModelConfig
+from mlic_tpu.models.context import (
+    ChannelContext,
+    EntropyParameters,
+    LatentResidualPrediction,
+    LinearGlobalInterContext,
+    LinearGlobalIntraContext,
+    LocalContext,
+)
+from mlic_tpu.models.transforms import (
+    AnalysisTransform,
+    HyperAnalysis,
+    HyperSynthesis,
+    SynthesisTransform,
+)
+from mlic_tpu.ops.math import (
+    ckbd_anchor,
+    ckbd_anchor_squeeze,
+    ckbd_anchor_unsqueeze,
+    ckbd_nonanchor,
+    ckbd_nonanchor_squeeze,
+    ckbd_nonanchor_unsqueeze,
+    ckbd_split,
+    quantize_ste,
+)
+
+Exchange = Callable[..., jax.Array]
+
+
+class MLICPlusPlus(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        N, M, S, C = cfg.N, cfg.M, cfg.slice_num, cfg.slice_ch
+        dw = cfg.depthwise
+        # Small-decoder variant: dense-conv encoder, N//4-wide depthwise
+        # decoder (reference mlicpp_small_decoder.py:12,36-39).
+        enc_dw = dw and not cfg.small_decoder
+        dec_N = N // 4 if cfg.small_decoder else N
+
+        self.g_a = AnalysisTransform(N=N, M=M, depthwise=enc_dw)
+        self.h_a = HyperAnalysis(M=M, N=N, depthwise=enc_dw)
+        self.g_s = SynthesisTransform(N=dec_N, M=M, depthwise=dw,
+                                      old_head=cfg.old_synthesis)
+        self.h_s = HyperSynthesis(M=M, N=N, depthwise=dw)
+        self.entropy_bottleneck = EntropyBottleneck(channels=N)
+
+        ch_hidden = (96, 96) if cfg.small_decoder else (192, 128)
+        self.local_context = [
+            LocalContext(dim=C, window_size=cfg.context_window, name=f"local_{i}")
+            for i in range(S)]
+        self.channel_context = [
+            ChannelContext(out_dim=C, hidden=ch_hidden, depthwise=dw,
+                           name=f"chctx_{i}")
+            for i in range(1, S)]
+        self.global_inter_context = [
+            LinearGlobalInterContext(dim=C * i, out_dim=C * 2,
+                                     num_heads=max(C * i // 32, 1),
+                                     name=f"ginter_{i}")
+            for i in range(1, S)]
+        self.global_intra_context = [
+            LinearGlobalIntraContext(dim=C, name=f"gintra_{i}")
+            for i in range(1, S)]
+        self.entropy_parameters_anchor = [
+            EntropyParameters(out_dim=C * 2, name=f"ep_anchor_{i}") for i in range(S)]
+        self.entropy_parameters_nonanchor = [
+            EntropyParameters(out_dim=C * 2, name=f"ep_nonanchor_{i}") for i in range(S)]
+        self.lrp_anchor = [
+            LatentResidualPrediction(out_dim=C, depthwise=dw, name=f"lrp_anchor_{i}")
+            for i in range(S)]
+        self.lrp_nonanchor = [
+            LatentResidualPrediction(out_dim=C, depthwise=dw, name=f"lrp_nonanchor_{i}")
+            for i in range(S)]
+
+        self.scale_table = jnp.asarray(get_scale_table(), jnp.float32)
+
+    # ---------------- shared per-slice context helpers -----------------
+    def _slice_ctx(self, idx: int, y_hat_slices):
+        if idx == 0:
+            return None, None
+        prev = jnp.concatenate(y_hat_slices, axis=-1)
+        inter = self.global_inter_context[idx - 1](prev)
+        channel = self.channel_context[idx - 1](prev)
+        return inter, channel
+
+    def _anchor_params(self, idx, hyper_params, inter_ctx, channel_ctx):
+        if idx == 0:
+            return self.entropy_parameters_anchor[0](hyper_params)
+        fused = jnp.concatenate([inter_ctx, channel_ctx, hyper_params], axis=-1)
+        return self.entropy_parameters_anchor[idx](fused)
+
+    def _nonanchor_params(self, idx, hyper_params, local_ctx, intra_ctx,
+                          inter_ctx, channel_ctx):
+        if idx == 0:
+            fused = jnp.concatenate([local_ctx, hyper_params], axis=-1)
+        else:
+            fused = jnp.concatenate(
+                [local_ctx, intra_ctx, inter_ctx, channel_ctx, hyper_params], axis=-1)
+        return self.entropy_parameters_nonanchor[idx](fused)
+
+    def _lrp(self, branch, idx, hyper_means, y_hat_slices, current):
+        inp = jnp.concatenate([hyper_means] + list(y_hat_slices) + [current], axis=-1)
+        return branch[idx](inp)
+
+    @staticmethod
+    def _chunk2(params):
+        return jnp.split(params, 2, axis=-1)
+
+    # --------------------------- training ------------------------------
+    def __call__(self, x, training: bool = True):
+        """x: [B,H,W,3] in [0,1] -> dict with x_hat and y/z likelihoods."""
+        cfg = self.cfg
+        C = cfg.slice_ch
+        y = self.g_a(x)
+        z = self.h_a(y)
+        _, z_likelihoods = self.entropy_bottleneck(z, training)
+        z_hat = self.entropy_bottleneck.ste_quantize(z)
+
+        hyper_params = self.h_s(z_hat)
+        _, hyper_means = self._chunk2(hyper_params)
+
+        y_hat_slices = []
+        y_lks = []
+        for idx in range(cfg.slice_num):
+            y_slice = y[..., idx * C:(idx + 1) * C]
+            slice_anchor, slice_nonanchor = ckbd_split(y_slice)
+            inter_ctx, channel_ctx = self._slice_ctx(idx, y_hat_slices)
+
+            params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
+            scales_a, means_a = self._chunk2(params_anchor)
+            scales_a, means_a = ckbd_anchor(scales_a), ckbd_anchor(means_a)
+            slice_anchor = quantize_ste(slice_anchor - means_a) + means_a
+            lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
+            slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
+
+            local_ctx = self.local_context[idx](slice_anchor)
+            intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
+                         if idx else None)
+            params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
+                                               inter_ctx, channel_ctx)
+            scales_na, means_na = self._chunk2(params_na)
+            scales_na, means_na = ckbd_nonanchor(scales_na), ckbd_nonanchor(means_na)
+
+            scales_slice = scales_a + scales_na
+            means_slice = means_a + means_na
+            y_lks.append(gaussian_likelihood(y_slice, scales_slice, means_slice))
+
+            slice_nonanchor = quantize_ste(slice_nonanchor - means_na) + means_na
+            y_hat_slice = slice_anchor + slice_nonanchor
+            lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices, y_hat_slice)
+            y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": jnp.concatenate(y_lks, axis=-1), "z": z_likelihoods},
+        }
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+    # ------------------------- analysis only ---------------------------
+    def analyze(self, x):
+        """Encoder front half: x -> (y, z_symbols) for the codec driver."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        z_symbols = jnp.round(z - medians).astype(jnp.int32)
+        return y, z_symbols
+
+    # ------------------------- real coding -----------------------------
+    def codec_pass(self, y, z_symbols, exchange: Exchange):
+        """Shared compress/decompress program (see module docstring).
+
+        Args:
+          y: [B,h,w,M] latent from ``analyze`` (zeros when decoding).
+          z_symbols: int32 [B,h/4,w/4,N] quantized hyper-latent symbols.
+          exchange: host callback ``(tag, indexes_sq, candidate_symbols) ->
+            symbols`` invoked once per (slice, phase) in coding order.
+        Returns:
+          (x_hat, y_hat)
+        """
+        cfg = self.cfg
+        C = cfg.slice_ch
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        z_hat = z_symbols.astype(jnp.float32) + medians
+        hyper_params = self.h_s(z_hat)
+        _, hyper_means = self._chunk2(hyper_params)
+
+        def phase(tag, squeeze, unsqueeze, y_slice, scales, means):
+            """One checkerboard phase: device params -> host symbols -> ŷ half."""
+            sc_sq = squeeze(scales)
+            mu_sq = squeeze(means)
+            indexes = build_indexes(sc_sq, self.scale_table)
+            cand = jnp.round(squeeze(y_slice) - mu_sq).astype(jnp.int32)
+            symbols = io_callback(
+                functools.partial(exchange, tag),
+                jax.ShapeDtypeStruct(cand.shape, jnp.int32),
+                indexes, cand, ordered=True)
+            return unsqueeze(symbols.astype(jnp.float32) + mu_sq)
+
+        y_hat_slices = []
+        for idx in range(cfg.slice_num):
+            y_slice = y[..., idx * C:(idx + 1) * C]
+            inter_ctx, channel_ctx = self._slice_ctx(idx, y_hat_slices)
+
+            params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
+            scales_a, means_a = self._chunk2(params_anchor)
+            slice_anchor = phase(f"a{idx}", ckbd_anchor_squeeze, ckbd_anchor_unsqueeze,
+                                 y_slice, scales_a, means_a)
+            lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
+            slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
+
+            local_ctx = self.local_context[idx](slice_anchor)
+            intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
+                         if idx else None)
+            params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
+                                               inter_ctx, channel_ctx)
+            scales_na, means_na = self._chunk2(params_na)
+            slice_nonanchor = phase(f"n{idx}", ckbd_nonanchor_squeeze,
+                                    ckbd_nonanchor_unsqueeze, y_slice, scales_na, means_na)
+            y_hat_slice = slice_nonanchor + slice_anchor
+            lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices,
+                               y_hat_slice)
+            y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self.g_s(y_hat)
+        return x_hat, y_hat
+
+    # --------------------- decode-complexity proxy ---------------------
+    def net_decoder_forward(self, z_shape_source):
+        """Decoder-only pass with zero hyper-latent and means-as-symbols,
+        for MACs profiling (reference ``mlicpp.py:380-459``)."""
+        cfg = self.cfg
+        C = cfg.slice_ch
+        b, h, w, _ = z_shape_source.shape
+        z_hat = jnp.zeros((b, h // 64, w // 64, cfg.N), jnp.float32)
+        hyper_params = self.h_s(z_hat)
+        _, hyper_means = self._chunk2(hyper_params)
+        y_hat_slices = []
+        for idx in range(cfg.slice_num):
+            inter_ctx, channel_ctx = self._slice_ctx(idx, y_hat_slices)
+            params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
+            _, means_a = self._chunk2(params_anchor)
+            slice_anchor = ckbd_anchor(means_a)
+            lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
+            slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
+            local_ctx = self.local_context[idx](slice_anchor)
+            intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
+                         if idx else None)
+            params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
+                                               inter_ctx, channel_ctx)
+            _, means_na = self._chunk2(params_na)
+            slice_nonanchor = ckbd_nonanchor(means_na)
+            y_hat_slice = slice_nonanchor + slice_anchor
+            lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices,
+                               y_hat_slice)
+            y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
+            y_hat_slices.append(y_hat_slice)
+        return self.g_s(jnp.concatenate(y_hat_slices, axis=-1))

@@ -1,0 +1,190 @@
+"""Variable-bitrate MLIC++ (reference ``MLIC++/models/mlicpp_vbr.py:14-1183``).
+
+VBR machinery on top of the base model:
+* learnable ``Gain`` vector (inverse quantization step per rate level,
+  ``mlicpp_vbr.py:86-91``),
+* ``QuantABCD`` 2->12->12->1 MLP mapping (stdev, gain) -> quantization offset
+  (``:92-100``; only used when ``no_quantoffset=False`` — the fork default
+  keeps it off, ``:102``),
+* stage-2 forward with gain-scaled STE quantization
+  ``ste_round((v-mu)*scale)*rescale + mu`` and likelihoods evaluated on the
+  scaled triple ``(y*scale, sigma*scale, mu*scale)`` (``:277,292``).
+
+TPU delta: the rate level ``s`` (and continuous ``inputscale``) are TRACED
+scalars — ``scale = Gain[s]`` is a gather — so ONE compiled graph serves
+every rate level, for training, eval, and real coding alike (the reference
+re-runs Python branches per level).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.experimental import io_callback
+
+from mlic_tpu.entropy.models import build_indexes, gaussian_likelihood
+from mlic_tpu.models.mlicpp import MLICPlusPlus
+from mlic_tpu.ops.math import (
+    ckbd_anchor,
+    ckbd_anchor_squeeze,
+    ckbd_anchor_unsqueeze,
+    ckbd_nonanchor,
+    ckbd_nonanchor_squeeze,
+    ckbd_nonanchor_unsqueeze,
+    ckbd_split,
+    lower_bound,
+    quantize_ste,
+)
+
+
+class MLICPlusPlusVbr(MLICPlusPlus):
+
+    def setup(self):
+        super().setup()
+        gain_init = jnp.asarray(self.cfg.gain_init, jnp.float32)
+        self.Gain = self.param("Gain", lambda k, s: gain_init, gain_init.shape)
+        # QuantABCD: Linear(2,12)-ReLU-Linear(12,12)-ReLU-Linear(12,1)
+        self.quant_abcd = [nn.Dense(12, name="qabcd_0"),
+                           nn.Dense(12, name="qabcd_1"),
+                           nn.Dense(1, name="qabcd_2")]
+
+    @property
+    def levels(self) -> int:
+        return len(self.cfg.lmbda)
+
+    def quant_offset(self, stdev, scale):
+        """QuantABCD forward: (bounded stdev, gain) -> offset."""
+        inp = jnp.stack([stdev, jnp.broadcast_to(scale, stdev.shape)], axis=-1)
+        h = nn.relu(self.quant_abcd[0](inp))
+        h = nn.relu(self.quant_abcd[1](h))
+        return self.quant_abcd[2](h)[..., 0]
+
+    def _scale(self, s, inputscale=None):
+        """Gain gather with clipped traced index; inputscale overrides."""
+        s = jnp.clip(jnp.asarray(s, jnp.int32), 0, len(self.cfg.gain_init) - 1)
+        scale = jax.lax.stop_gradient(jnp.abs(self.Gain[s]))
+        if inputscale is not None:
+            scale = jnp.where(inputscale > 0, inputscale, scale)
+        return scale
+
+    def __call__(self, x, training: bool = True, stage: int = 2, s=1,
+                 inputscale=None):
+        if stage == 1:
+            return super().__call__(x, training)
+        cfg = self.cfg
+        C = cfg.slice_ch
+        scale = self._scale(s, inputscale)
+        rescale = 1.0 / scale
+
+        y = self.g_a(x)
+        z = self.h_a(y)
+        _, z_likelihoods = self.entropy_bottleneck(z, training)
+        z_hat = self.entropy_bottleneck.ste_quantize(z)
+        hyper_params = self.h_s(z_hat)
+        _, hyper_means = self._chunk2(hyper_params)
+
+        def vbr_round(v, means):
+            return quantize_ste((v - means) * scale) * rescale + means
+
+        y_hat_slices = []
+        y_lks = []
+        for idx in range(cfg.slice_num):
+            y_slice = y[..., idx * C:(idx + 1) * C]
+            slice_anchor, slice_nonanchor = ckbd_split(y_slice)
+            inter_ctx, channel_ctx = self._slice_ctx(idx, y_hat_slices)
+
+            params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
+            scales_a, means_a = self._chunk2(params_anchor)
+            scales_a, means_a = ckbd_anchor(scales_a), ckbd_anchor(means_a)
+            slice_anchor = vbr_round(slice_anchor, means_a)
+            lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
+            slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
+
+            local_ctx = self.local_context[idx](slice_anchor)
+            intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
+                         if idx else None)
+            params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
+                                               inter_ctx, channel_ctx)
+            scales_na, means_na = self._chunk2(params_na)
+            scales_na, means_na = ckbd_nonanchor(scales_na), ckbd_nonanchor(means_na)
+
+            scales_slice = scales_a + scales_na
+            means_slice = means_a + means_na
+            y_lks.append(gaussian_likelihood(y_slice * scale, scales_slice * scale,
+                                             means_slice * scale))
+
+            slice_nonanchor = vbr_round(slice_nonanchor, means_na)
+            y_hat_slice = slice_anchor + slice_nonanchor
+            lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices, y_hat_slice)
+            y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": jnp.concatenate(y_lks, axis=-1), "z": z_likelihoods},
+        }
+
+    # ------------------------- real coding -----------------------------
+    def codec_pass(self, y, z_symbols, exchange, s=1, inputscale=None):
+        """VBR codec program: gain-scaled symbols, shared by both directions
+        (reference ``compress/decompress(x, stage=2, s, inputscale)``,
+        ``mlicpp_vbr.py:535,889`` — the ``torch.abs(Gain[s])`` path)."""
+        cfg = self.cfg
+        C = cfg.slice_ch
+        scale = self._scale(s, inputscale)
+        rescale = 1.0 / scale
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        z_hat = z_symbols.astype(jnp.float32) + medians
+        hyper_params = self.h_s(z_hat)
+        _, hyper_means = self._chunk2(hyper_params)
+
+        def phase(tag, squeeze, unsqueeze, y_slice, scales, means):
+            sc_sq = squeeze(scales)
+            mu_sq = squeeze(means)
+            indexes = build_indexes(sc_sq * scale, self.scale_table)
+            cand = jnp.round((squeeze(y_slice) - mu_sq) * scale).astype(jnp.int32)
+            symbols = io_callback(
+                functools.partial(exchange, tag),
+                jax.ShapeDtypeStruct(cand.shape, jnp.int32),
+                indexes, cand, ordered=True)
+            return unsqueeze(symbols.astype(jnp.float32) * rescale + mu_sq)
+
+        y_hat_slices = []
+        for idx in range(cfg.slice_num):
+            y_slice = y[..., idx * C:(idx + 1) * C]
+            inter_ctx, channel_ctx = self._slice_ctx(idx, y_hat_slices)
+            params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
+            scales_a, means_a = self._chunk2(params_anchor)
+            slice_anchor = phase(f"a{idx}", ckbd_anchor_squeeze, ckbd_anchor_unsqueeze,
+                                 y_slice, scales_a, means_a)
+            lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
+            slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
+
+            local_ctx = self.local_context[idx](slice_anchor)
+            intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
+                         if idx else None)
+            params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
+                                               inter_ctx, channel_ctx)
+            scales_na, means_na = self._chunk2(params_na)
+            slice_nonanchor = phase(f"n{idx}", ckbd_nonanchor_squeeze,
+                                    ckbd_nonanchor_unsqueeze, y_slice, scales_na, means_na)
+            y_hat_slice = slice_nonanchor + slice_anchor
+            lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices,
+                               y_hat_slice)
+            y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self.g_s(y_hat)
+        return x_hat, y_hat
+
+    def mmo_parameters(self):
+        """Parameter-group labels for the multi-objective trainer: the Gain
+        vector trains per-level, everything else is shared
+        (reference ``mmo_parameters``, ``mlicpp_vbr.py:1138-1148``)."""
+        return {"gain": ["Gain"], "shared": "rest"}

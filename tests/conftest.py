@@ -2,15 +2,21 @@
 
 Multi-chip TPU hardware is not available in CI; we validate sharding logic
 the JAX way — 8 virtual CPU devices (SURVEY.md §4 "Implication for the
-build").  Must run before jax is imported anywhere.
+build").  Note: this environment ships an `axon` TPU plugin that overrides
+the JAX_PLATFORMS env var, so the platform must be forced through
+jax.config before any computation.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
