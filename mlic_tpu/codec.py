@@ -1,19 +1,23 @@
 """Codec driver: ties the jitted model programs to the host rANS coder.
 
 Equivalent of the reference's ``compress``/``decompress``/``update`` methods
-(``MLIC++/models/mlicpp.py:199-378,470-475``) restructured for TPU:
+(``MLIC++/models/mlicpp.py:199-378,470-475``) restructured for TPU.
 
-* ``compress``: one jitted ``analyze`` pass (g_a + h_a + z quantization),
-  then the shared ``codec_pass`` program whose ordered host callbacks buffer
-  the per-phase symbols; a single rANS flush packs the y stream.
-* ``decompress``: host-decodes z, then runs the *same compiled*
-  ``codec_pass`` with decode-mode callbacks — entropy parameters are
-  bit-exact between the two sides by construction.
-* ``update``: rebuilds the integer CDF tables (factorized prior from the
-  learned quantiles, conditional Gaussian from the scale table).
+Two backends, both running the SAME compiled executables for encode and
+decode (bit-exact entropy parameters by construction):
 
-The device↔host boundary transfers packed int32 arrays, 2 per slice — the
-crossing count of the reference but without its per-element ``tolist()``.
+* ``steps`` (default): per-slice compiled step functions driven from
+  Python, explicit host<->device transfers of packed int32 arrays — 2 per
+  slice, like the reference, but array-sized instead of ``tolist()``.
+  Works on every platform.
+* ``fused``: ONE compiled program per direction-pair whose ordered
+  ``io_callback``s exchange symbols in-graph.  Fewer dispatches; requires a
+  platform with working host callbacks (CPU/GPU/standard TPU runtimes; the
+  axon dev tunnel is NOT one of them).
+
+``update`` rebuilds the integer CDF tables (factorized prior from the
+learned quantiles, conditional Gaussian from the scale table) — all host
+numpy, no device round-trips.
 """
 
 from __future__ import annotations
@@ -30,16 +34,16 @@ from mlic_tpu.entropy.models import (
     GaussianConditionalTables,
     entropy_bottleneck_tables,
 )
-from mlic_tpu.entropy.rans import BufferedRansEncoder, RansDecoder, encode_with_indexes, decode_with_indexes
+from mlic_tpu.entropy.rans import (
+    RansDecoder,
+    decode_with_indexes,
+    encode_with_indexes,
+)
 from mlic_tpu.models.mlicpp import MLICPlusPlus
 
 
 class _ExchangeState:
-    """Mutable host-side state consulted by the codec_pass callbacks.
-
-    One instance per Codec; mode flips between 'encode' and 'decode' so the
-    jitted program (which closes over the bound callback) never retraces.
-    """
+    """Mutable host-side symbol-exchange state shared by both backends."""
 
     def __init__(self):
         self.mode = "idle"
@@ -65,33 +69,45 @@ class _ExchangeState:
 class Codec:
     """compress()/decompress() driver around a trained MLICPlusPlus."""
 
-    def __init__(self, model: MLICPlusPlus, params: Any):
+    def __init__(self, model: MLICPlusPlus, params: Any, backend: str = "steps"):
+        if backend not in ("steps", "fused"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.model = model
         self.params = params
+        self.backend = backend
         self._x = _ExchangeState()
         self._gc: Optional[GaussianConditionalTables] = None
         self._eb = None  # (cdfs, lengths, offsets, medians)
+        cls = type(model)
 
         self._analyze = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x,
-                                          method=MLICPlusPlus.analyze))
-        self.is_vbr = bool(getattr(model.cfg, "vbr", False))
-        if self.is_vbr:
-            from mlic_tpu.models.vbr import MLICPlusPlusVbr
-            # level s / inputscale are traced: one compiled graph, all rates.
-            self._codec_pass_vbr = jax.jit(
-                lambda p, y, zs, s, iscale: self.model.apply(
-                    {"params": p}, y, zs, self._x.exchange, s, iscale,
-                    method=MLICPlusPlusVbr.codec_pass))
-            self._codec_pass = lambda p, y, zs: self._codec_pass_vbr(
-                p, y, zs, self._level, self._inputscale)
+            lambda p, x: model.apply({"params": p}, x, method=cls.analyze))
+        self._gain_scale = jax.jit(
+            lambda p, s, isc: model.apply({"params": p}, s, isc,
+                                          method=cls.gain_scale))
+        if backend == "fused":
+            self._fused = jax.jit(
+                lambda p, y, zs, sc: model.apply(
+                    {"params": p}, y, zs, self._x.exchange, sc,
+                    method=cls.codec_pass))
         else:
-            self._codec_pass = jax.jit(
-                lambda p, y, zs: self.model.apply({"params": p}, y, zs,
-                                                  self._x.exchange,
-                                                  method=MLICPlusPlus.codec_pass))
-        self._level = jnp.asarray(0, jnp.int32)
-        self._inputscale = jnp.asarray(0.0, jnp.float32)
+            S = model.cfg.slice_num
+            self._begin = jax.jit(
+                lambda p, y, zs, sc: model.apply({"params": p}, y, zs, sc,
+                                                 method=cls.codec_begin))
+            self._step_a = [
+                jax.jit(lambda p, y, st, sym, _i=i: model.apply(
+                    {"params": p}, y, st, sym, _i,
+                    method=cls.codec_step_anchor))
+                for i in range(S)]
+            self._step_n = [
+                jax.jit(lambda p, y, st, sym, _i=i: model.apply(
+                    {"params": p}, y, st, sym, _i,
+                    method=cls.codec_step_nonanchor))
+                for i in range(S)]
+            self._finish = jax.jit(
+                lambda p, st: model.apply({"params": p}, st,
+                                          method=cls.codec_finish))
 
     # ------------------------------------------------------------------
     def update(self, scale_table: np.ndarray | None = None, force: bool = True):
@@ -100,8 +116,8 @@ class Codec:
             return False
         self._gc = GaussianConditionalTables.create(
             scale_table if scale_table is not None else get_scale_table())
-        eb_params = jax.tree.map(np.asarray, self.params["entropy_bottleneck"])
-        self._eb = entropy_bottleneck_tables(eb_params, self.model.cfg.N)
+        self._eb = entropy_bottleneck_tables(
+            self.params["entropy_bottleneck"], self.model.cfg.N)
         self._x.gc_cdfs = self._gc.quantized_cdf
         self._x.gc_lengths = self._gc.cdf_length
         self._x.gc_offsets = self._gc.offset
@@ -112,6 +128,21 @@ class Codec:
             self.update()
 
     # ------------------------------------------------------------------
+    def _run_codec(self, y, z_symbols, scale):
+        """Run the shared codec program under the current exchange mode."""
+        if self.backend == "fused":
+            return self._fused(self.params, y, z_symbols, scale)
+        state, indexes, cand = self._begin(self.params, y, z_symbols, scale)
+        for idx in range(self.model.cfg.slice_num):
+            sym = self._x.exchange(f"a{idx}", indexes, cand)
+            state, indexes, cand = self._step_a[idx](
+                self.params, y, state, jnp.asarray(sym, jnp.int32))
+            sym = self._x.exchange(f"n{idx}", indexes, cand)
+            state, indexes, cand = self._step_n[idx](
+                self.params, y, state, jnp.asarray(sym, jnp.int32))
+        return self._finish(self.params, state)
+
+    # ------------------------------------------------------------------
     def compress(self, x, s: int = 0, inputscale: float = 0.0) -> dict:
         """x: [1,H,W,3] float in [0,1], H and W multiples of 64.
 
@@ -120,12 +151,11 @@ class Codec:
         ``mlicpp_vbr.py:535``); both are traced scalars — no recompile.
         """
         self._require_tables()
-        b = x.shape[0]
-        if b != 1:
+        if x.shape[0] != 1:
             raise NotImplementedError("codec operates per image (B=1)")
-        self._level = jnp.asarray(s, jnp.int32)
-        self._inputscale = jnp.asarray(inputscale, jnp.float32)
         t0 = time.perf_counter()
+        scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
+                                 jnp.asarray(inputscale, jnp.float32))
         y, z_symbols = self._analyze(self.params, jnp.asarray(x, jnp.float32))
 
         # z: factorized-prior coding, per-channel CDF rows.
@@ -139,7 +169,7 @@ class Codec:
         # y: shared codec program in encode mode.
         self._x.mode = "encode"
         self._x.encoder_chunks = []
-        x_hat, y_hat = self._codec_pass(self.params, y, z_symbols)
+        x_hat, y_hat = self._run_codec(y, z_symbols, scale)
         jax.block_until_ready(x_hat)
         self._x.mode = "idle"
         symbols = np.concatenate([c[0] for c in self._x.encoder_chunks])
@@ -159,9 +189,9 @@ class Codec:
     def decompress(self, strings, shape, s: int = 0, inputscale: float = 0.0) -> dict:
         """strings: [[y_string], [z_string]]; shape: (h/4, w/4) of z."""
         self._require_tables()
-        self._level = jnp.asarray(s, jnp.int32)
-        self._inputscale = jnp.asarray(inputscale, jnp.float32)
         t0 = time.perf_counter()
+        scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
+                                 jnp.asarray(inputscale, jnp.float32))
         y_string = strings[0][0]
         z_string = strings[1][0]
         zh, zw = shape
@@ -180,7 +210,7 @@ class Codec:
         self._x.mode = "decode"
         self._x.decoder = RansDecoder()
         self._x.decoder.set_stream(y_string)
-        x_hat, y_hat = self._codec_pass(self.params, y_zero, z_symbols)
+        x_hat, y_hat = self._run_codec(y_zero, z_symbols, scale)
         jax.block_until_ready(x_hat)
         self._x.mode = "idle"
         self._x.decoder.close()

@@ -219,27 +219,42 @@ def entropy_bottleneck_tables(eb_params: dict, channels: int,
     Returns:
       (quantized_cdf [C, max+2] int32, cdf_length [C], offset [C], medians [C] f32)
     """
-    module = EntropyBottleneck(channels=channels, filters=filters, tail_mass=tail_mass)
+    eb_params = jax.device_get(eb_params)  # one batched transfer
 
-    quantiles = np.asarray(eb_params["quantiles"])
+    quantiles = np.asarray(eb_params["quantiles"], np.float32)
     medians = quantiles[:, 0, 1]
     minima = np.maximum(np.ceil(medians - quantiles[:, 0, 0]).astype(np.int64), 0)
     maxima = np.maximum(np.ceil(quantiles[:, 0, 2] - medians).astype(np.int64), 0)
     pmf_lengths = minima + maxima + 1
     max_length = int(pmf_lengths.max())
 
-    # Sample the density at integer offsets around the median.
-    samples = np.arange(max_length)[None, :] - minima[:, None] + medians[:, None]
-    samples = jnp.asarray(samples, jnp.float32)[:, None, :]  # [C,1,L]
+    # Sample the density at integer offsets around the median.  The monotone
+    # MLP is evaluated in float32 numpy on host — tables are host artifacts
+    # shared by encoder and decoder, so no device math is involved.
+    samples = (np.arange(max_length)[None, :] - minima[:, None]
+               + medians[:, None]).astype(np.float32)[:, None, :]  # [C,1,L]
 
-    @jax.jit
-    def cdf_at(v):
-        logits = module.apply({"params": eb_params}, v, False,
-                              method=EntropyBottleneck._logits_cumulative)
-        return jax.nn.sigmoid(logits)
+    n_layers = len(filters) + 1
 
-    lower = np.asarray(cdf_at(samples - 0.5))[:, 0, :]
-    upper = np.asarray(cdf_at(samples + 0.5))[:, 0, :]
+    def softplus(v):
+        return np.logaddexp(0.0, v)
+
+    def logits_np(x):
+        x = x.astype(np.float32)
+        for k in range(n_layers):
+            m = softplus(np.asarray(eb_params[f"matrix_{k}"], np.float32))
+            b = np.asarray(eb_params[f"bias_{k}"], np.float32)
+            x = np.einsum("coi,cil->col", m, x) + b
+            if k < n_layers - 1:
+                fac = np.asarray(eb_params[f"factor_{k}"], np.float32)
+                x = x + np.tanh(fac) * np.tanh(x)
+        return x
+
+    def sigmoid(v):
+        return 0.5 * (1.0 + np.tanh(0.5 * v))
+
+    lower = sigmoid(logits_np(samples - 0.5))[:, 0, :]
+    upper = sigmoid(logits_np(samples + 0.5))[:, 0, :]
     pmfs = upper - lower
     # Tail mass on both sides of the support.
     tail = lower[np.arange(len(medians)), 0] + (

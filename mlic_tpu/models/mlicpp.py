@@ -70,24 +70,28 @@ class MLICPlusPlus(nn.Module):
         cfg = self.cfg
         N, M, S, C = cfg.N, cfg.M, cfg.slice_num, cfg.slice_ch
         dw = cfg.depthwise
-        # Small-decoder variant: dense-conv encoder, N//4-wide depthwise
-        # decoder (reference mlicpp_small_decoder.py:12,36-39).
+        # Small-decoder variant (reference mlicpp_small_decoder.py:12-43):
+        # dense-conv encoder (analysis_old), depthwise N//4-wide synthesis,
+        # hyper-synthesis shrunk to M//4, dense channel context with
+        # hidden=(96,96), wide ("Old") depthwise LRP.
         enc_dw = dw and not cfg.small_decoder
         dec_N = N // 4 if cfg.small_decoder else N
+        hyper_M = M // 4 if cfg.small_decoder else M
 
         self.g_a = AnalysisTransform(N=N, M=M, depthwise=enc_dw)
         self.h_a = HyperAnalysis(M=M, N=N, depthwise=enc_dw)
         self.g_s = SynthesisTransform(N=dec_N, M=M, depthwise=dw,
                                       old_head=cfg.old_synthesis)
-        self.h_s = HyperSynthesis(M=M, N=N, depthwise=dw)
+        self.h_s = HyperSynthesis(M=hyper_M, N=N, depthwise=dw)
         self.entropy_bottleneck = EntropyBottleneck(channels=N)
 
         ch_hidden = (96, 96) if cfg.small_decoder else (192, 128)
+        ch_dw = dw and not cfg.small_decoder  # context_old in SD
         self.local_context = [
             LocalContext(dim=C, window_size=cfg.context_window, name=f"local_{i}")
             for i in range(S)]
         self.channel_context = [
-            ChannelContext(out_dim=C, hidden=ch_hidden, depthwise=dw,
+            ChannelContext(out_dim=C, hidden=ch_hidden, depthwise=ch_dw,
                            name=f"chctx_{i}")
             for i in range(1, S)]
         self.global_inter_context = [
@@ -102,11 +106,16 @@ class MLICPlusPlus(nn.Module):
             EntropyParameters(out_dim=C * 2, name=f"ep_anchor_{i}") for i in range(S)]
         self.entropy_parameters_nonanchor = [
             EntropyParameters(out_dim=C * 2, name=f"ep_nonanchor_{i}") for i in range(S)]
+        lrp_old = cfg.small_decoder  # LatentResidualPredictionOld in SD
         self.lrp_anchor = [
-            LatentResidualPrediction(out_dim=C, depthwise=dw, name=f"lrp_anchor_{i}")
+            LatentResidualPrediction(out_dim=C, depthwise=dw, old_wide=lrp_old,
+                                     in_dim=hyper_M + (i + 1) * C,
+                                     name=f"lrp_anchor_{i}")
             for i in range(S)]
         self.lrp_nonanchor = [
-            LatentResidualPrediction(out_dim=C, depthwise=dw, name=f"lrp_nonanchor_{i}")
+            LatentResidualPrediction(out_dim=C, depthwise=dw, old_wide=lrp_old,
+                                     in_dim=hyper_M + (i + 1) * C,
+                                     name=f"lrp_nonanchor_{i}")
             for i in range(S)]
 
         self.scale_table = jnp.asarray(get_scale_table(), jnp.float32)
@@ -208,8 +217,143 @@ class MLICPlusPlus(nn.Module):
         return y, z_symbols
 
     # ------------------------- real coding -----------------------------
-    def codec_pass(self, y, z_symbols, exchange: Exchange):
-        """Shared compress/decompress program (see module docstring).
+    #
+    # Two interchangeable backends share the SAME per-phase math:
+    #  * codec_pass — ONE compiled program with ordered io_callbacks (fused;
+    #    fastest where host callbacks are supported).
+    #  * codec_begin/codec_step_anchor/codec_step_nonanchor/codec_finish —
+    #    per-slice compiled steps driven from Python with explicit
+    #    host<->device transfers.  Encode and decode run the *same compiled
+    #    executables* in both backends, so entropy parameters are bit-exact
+    #    across the two coding directions either way.
+    #
+    # ``scale`` is the VBR gain (1.0 for fixed-rate models): symbols are
+    # round((v - mu) * scale), reconstruction is sym * (1/scale) + mu, and
+    # CDF rows are looked up at sigma * scale (reference mlicpp_vbr.py:277).
+
+    def _phase_quantities(self, squeeze, y_slice, scales, means, scale):
+        sc_sq = squeeze(scales)
+        mu_sq = squeeze(means)
+        indexes = build_indexes(sc_sq * scale, self.scale_table)
+        cand = jnp.round((squeeze(y_slice) - mu_sq) * scale).astype(jnp.int32)
+        return mu_sq, indexes, cand
+
+    def _empty_codec_state(self, b, h, w):
+        cfg = self.cfg
+        C = cfg.slice_ch
+        hyper_ch = 2 * (cfg.M // 4 if cfg.small_decoder else cfg.M)
+        f32 = jnp.float32
+        return {
+            "hyper_params": jnp.zeros((b, h, w, hyper_ch), f32),
+            "y_buf": jnp.zeros((b, h, w, cfg.M), f32),
+            "slice_anchor": jnp.zeros((b, h, w, C), f32),
+            "means_sq": jnp.zeros((b, h, w // 2, C), f32),
+            "inter_ctx": jnp.zeros((b, h, w, 2 * C), f32),
+            "channel_ctx": jnp.zeros((b, h, w, 4 * C), f32),
+            "scale": jnp.ones((), f32),
+        }
+
+    def gain_scale(self, s=0, inputscale=0.0):
+        """Coding-time quantization scale; 1.0 unless the VBR subclass
+        overrides (Gain gather)."""
+        return jnp.ones((), jnp.float32)
+
+    def codec_begin(self, y, z_symbols, scale):
+        """Start a codec run: hyper path + anchor params of slice 0.
+
+        Returns (state, indexes_sq, candidate_symbols_sq)."""
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        z_hat = z_symbols.astype(jnp.float32) + medians
+        hyper_params = self.h_s(z_hat)
+        b, h, w, _ = y.shape
+        state = self._empty_codec_state(b, h, w)
+        state["hyper_params"] = hyper_params
+        state["scale"] = jnp.asarray(scale, jnp.float32)
+        params_anchor = self._anchor_params(0, hyper_params, None, None)
+        scales_a, means_a = self._chunk2(params_anchor)
+        mu_sq, indexes, cand = self._phase_quantities(
+            ckbd_anchor_squeeze, y[..., :self.cfg.slice_ch], scales_a, means_a,
+            state["scale"])
+        state["means_sq"] = mu_sq
+        return state, indexes, cand
+
+    def _buf_slices(self, state, idx):
+        C = self.cfg.slice_ch
+        return [state["y_buf"][..., i * C:(i + 1) * C] for i in range(idx)]
+
+    def codec_step_anchor(self, y, state, symbols, idx: int):
+        """Apply decoded anchor symbols of slice ``idx``; emit non-anchor
+        phase quantities.  Returns (state, indexes_sq, cand_sq)."""
+        cfg = self.cfg
+        C = cfg.slice_ch
+        scale = state["scale"]
+        rescale = 1.0 / scale
+        hyper_params = state["hyper_params"]
+        _, hyper_means = self._chunk2(hyper_params)
+        y_hat_slices = self._buf_slices(state, idx)
+
+        slice_anchor = ckbd_anchor_unsqueeze(
+            symbols.astype(jnp.float32) * rescale + state["means_sq"])
+        lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
+        slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
+
+        local_ctx = self.local_context[idx](slice_anchor)
+        intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
+                     if idx else None)
+        inter_ctx = state["inter_ctx"] if idx else None
+        channel_ctx = state["channel_ctx"] if idx else None
+        params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
+                                           inter_ctx, channel_ctx)
+        scales_na, means_na = self._chunk2(params_na)
+        mu_sq, indexes, cand = self._phase_quantities(
+            ckbd_nonanchor_squeeze, y[..., idx * C:(idx + 1) * C],
+            scales_na, means_na, scale)
+        state = dict(state, slice_anchor=slice_anchor, means_sq=mu_sq)
+        return state, indexes, cand
+
+    def codec_step_nonanchor(self, y, state, symbols, idx: int):
+        """Complete slice ``idx``; emit anchor phase quantities for
+        slice ``idx+1`` (zeros after the last slice)."""
+        cfg = self.cfg
+        C = cfg.slice_ch
+        scale = state["scale"]
+        rescale = 1.0 / scale
+        hyper_params = state["hyper_params"]
+        _, hyper_means = self._chunk2(hyper_params)
+        y_hat_slices = self._buf_slices(state, idx)
+
+        slice_nonanchor = ckbd_nonanchor_unsqueeze(
+            symbols.astype(jnp.float32) * rescale + state["means_sq"])
+        y_hat_slice = slice_nonanchor + state["slice_anchor"]
+        lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices,
+                           y_hat_slice)
+        y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
+        y_buf = jax.lax.dynamic_update_slice_in_dim(
+            state["y_buf"], y_hat_slice, idx * C, axis=3)
+        state = dict(state, y_buf=y_buf)
+
+        nxt = idx + 1
+        if nxt < cfg.slice_num:
+            y_hat_slices = self._buf_slices(state, nxt)
+            inter_ctx, channel_ctx = self._slice_ctx(nxt, y_hat_slices)
+            params_anchor = self._anchor_params(nxt, hyper_params, inter_ctx, channel_ctx)
+            scales_a, means_a = self._chunk2(params_anchor)
+            mu_sq, indexes, cand = self._phase_quantities(
+                ckbd_anchor_squeeze, y[..., nxt * C:(nxt + 1) * C],
+                scales_a, means_a, scale)
+            state = dict(state, means_sq=mu_sq, inter_ctx=inter_ctx,
+                         channel_ctx=channel_ctx)
+        else:
+            indexes = jnp.zeros_like(state["means_sq"], jnp.int32)
+            cand = jnp.zeros_like(indexes)
+        return state, indexes, cand
+
+    def codec_finish(self, state):
+        y_hat = state["y_buf"]
+        return self.g_s(y_hat), y_hat
+
+    def codec_pass(self, y, z_symbols, exchange: Exchange, scale=1.0):
+        """Fused compress/decompress program (see module docstring).
 
         Args:
           y: [B,h,w,M] latent from ``analyze`` (zeros when decoding).
@@ -221,6 +365,8 @@ class MLICPlusPlus(nn.Module):
         """
         cfg = self.cfg
         C = cfg.slice_ch
+        scale = jnp.asarray(scale, jnp.float32)
+        rescale = 1.0 / scale
         medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
         z_hat = z_symbols.astype(jnp.float32) + medians
         hyper_params = self.h_s(z_hat)
@@ -228,15 +374,13 @@ class MLICPlusPlus(nn.Module):
 
         def phase(tag, squeeze, unsqueeze, y_slice, scales, means):
             """One checkerboard phase: device params -> host symbols -> ŷ half."""
-            sc_sq = squeeze(scales)
-            mu_sq = squeeze(means)
-            indexes = build_indexes(sc_sq, self.scale_table)
-            cand = jnp.round(squeeze(y_slice) - mu_sq).astype(jnp.int32)
+            mu_sq, indexes, cand = self._phase_quantities(
+                squeeze, y_slice, scales, means, scale)
             symbols = io_callback(
                 functools.partial(exchange, tag),
                 jax.ShapeDtypeStruct(cand.shape, jnp.int32),
                 indexes, cand, ordered=True)
-            return unsqueeze(symbols.astype(jnp.float32) + mu_sq)
+            return unsqueeze(symbols.astype(jnp.float32) * rescale + mu_sq)
 
         y_hat_slices = []
         for idx in range(cfg.slice_num):

@@ -18,24 +18,16 @@ re-runs Python branches per level).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from jax.experimental import io_callback
 
-from mlic_tpu.entropy.models import build_indexes, gaussian_likelihood
+from mlic_tpu.entropy.models import gaussian_likelihood
 from mlic_tpu.models.mlicpp import MLICPlusPlus
 from mlic_tpu.ops.math import (
     ckbd_anchor,
-    ckbd_anchor_squeeze,
-    ckbd_anchor_unsqueeze,
     ckbd_nonanchor,
-    ckbd_nonanchor_squeeze,
-    ckbd_nonanchor_unsqueeze,
     ckbd_split,
-    lower_bound,
     quantize_ste,
 )
 
@@ -130,58 +122,13 @@ class MLICPlusPlusVbr(MLICPlusPlus):
         }
 
     # ------------------------- real coding -----------------------------
-    def codec_pass(self, y, z_symbols, exchange, s=1, inputscale=None):
-        """VBR codec program: gain-scaled symbols, shared by both directions
-        (reference ``compress/decompress(x, stage=2, s, inputscale)``,
-        ``mlicpp_vbr.py:535,889`` — the ``torch.abs(Gain[s])`` path)."""
-        cfg = self.cfg
-        C = cfg.slice_ch
-        scale = self._scale(s, inputscale)
-        rescale = 1.0 / scale
-        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
-        z_hat = z_symbols.astype(jnp.float32) + medians
-        hyper_params = self.h_s(z_hat)
-        _, hyper_means = self._chunk2(hyper_params)
-
-        def phase(tag, squeeze, unsqueeze, y_slice, scales, means):
-            sc_sq = squeeze(scales)
-            mu_sq = squeeze(means)
-            indexes = build_indexes(sc_sq * scale, self.scale_table)
-            cand = jnp.round((squeeze(y_slice) - mu_sq) * scale).astype(jnp.int32)
-            symbols = io_callback(
-                functools.partial(exchange, tag),
-                jax.ShapeDtypeStruct(cand.shape, jnp.int32),
-                indexes, cand, ordered=True)
-            return unsqueeze(symbols.astype(jnp.float32) * rescale + mu_sq)
-
-        y_hat_slices = []
-        for idx in range(cfg.slice_num):
-            y_slice = y[..., idx * C:(idx + 1) * C]
-            inter_ctx, channel_ctx = self._slice_ctx(idx, y_hat_slices)
-            params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
-            scales_a, means_a = self._chunk2(params_anchor)
-            slice_anchor = phase(f"a{idx}", ckbd_anchor_squeeze, ckbd_anchor_unsqueeze,
-                                 y_slice, scales_a, means_a)
-            lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
-            slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
-
-            local_ctx = self.local_context[idx](slice_anchor)
-            intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
-                         if idx else None)
-            params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
-                                               inter_ctx, channel_ctx)
-            scales_na, means_na = self._chunk2(params_na)
-            slice_nonanchor = phase(f"n{idx}", ckbd_nonanchor_squeeze,
-                                    ckbd_nonanchor_unsqueeze, y_slice, scales_na, means_na)
-            y_hat_slice = slice_nonanchor + slice_anchor
-            lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices,
-                               y_hat_slice)
-            y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
-            y_hat_slices.append(y_hat_slice)
-
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self.g_s(y_hat)
-        return x_hat, y_hat
+    def gain_scale(self, s=0, inputscale=0.0):
+        """Coding-time gain: ``abs(Gain[s])`` or a continuous ``inputscale``
+        override (reference ``mlicpp_vbr.py:535,899``)."""
+        s = jnp.clip(jnp.asarray(s, jnp.int32), 0, len(self.cfg.gain_init) - 1)
+        scale = jnp.abs(self.Gain[s])
+        inputscale = jnp.asarray(inputscale, jnp.float32)
+        return jnp.where(inputscale > 0, inputscale, scale)
 
     def mmo_parameters(self):
         """Parameter-group labels for the multi-objective trainer: the Gain
