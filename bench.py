@@ -35,13 +35,14 @@ def main():
             print(*a, file=sys.stderr, flush=True)
 
     model_name = os.environ.get("BENCH_MODEL", "MLICPP_S")
-    n_images = int(os.environ.get("BENCH_IMAGES", "6"))
+    n_batches = int(os.environ.get("BENCH_IMAGES", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     h, w = 512, 768  # Kodak portrait/landscape canonical size
 
     model = get_model(model_name)
     rng = {"params": jax.random.key(0), "noise": jax.random.key(1)}
     # init at the coding size so no extra compile of g_a at another shape
-    x0 = jnp.zeros((1, h, w, 3), jnp.float32)
+    x0 = jnp.zeros((batch, h, w, 3), jnp.float32)
     t = time.perf_counter()
     params = jax.jit(lambda r, v: model.init(r, v, True))(rng, x0)["params"]
     jax.block_until_ready(params)
@@ -52,13 +53,12 @@ def main():
     codec.update()
     vlog(f"update: {time.perf_counter()-t:.1f}s")
 
-    images = [jnp.asarray(b[:1]) for b in synthetic_batches(1, 1, steps=0)]
     images = []
-    gen = synthetic_batches(1, 64, steps=n_images + 1, seed=7)
+    gen = synthetic_batches(batch, 64, steps=n_batches + 1, seed=7)
     for b in gen:
         # synthetic_batches yields square patches; tile to Kodak shape
-        img = np.tile(b[0], (h // 64 + 1, w // 64 + 1, 1))[:h, :w, :]
-        images.append(jnp.asarray(img[None]))
+        img = np.tile(b, (1, h // 64 + 1, w // 64 + 1, 1))[:, :h, :w, :]
+        images.append(jnp.asarray(img))
 
     # Warmup: compile encode+decode paths.
     t = time.perf_counter()
@@ -73,11 +73,11 @@ def main():
     total_bits = 0
     for img in images[1:]:
         enc = codec.compress(img)
-        total_bits += 8 * sum(len(s[0]) for s in enc["strings"])
+        total_bits += 8 * sum(len(s) for group in enc["strings"] for s in group)
         dec = codec.decompress(enc["strings"], enc["shape"])
         jax.block_until_ready(dec["x_hat"])
     elapsed = time.perf_counter() - t0
-    n = len(images) - 1
+    n = n_batches * batch
     imgs_per_sec = n / elapsed
     bpp = total_bits / (n * h * w)
 
@@ -87,7 +87,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 20.0, 4),
         "extra": {"bpp_random_init": round(bpp, 4), "n_images": n,
-                  "device": str(jax.devices()[0])},
+                  "batch": batch, "device": str(jax.devices()[0])},
     }
     print(json.dumps(result))
 

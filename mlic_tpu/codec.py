@@ -48,21 +48,30 @@ class _ExchangeState:
     def __init__(self):
         self.mode = "idle"
         self.encoder_chunks: list[tuple[np.ndarray, np.ndarray]] = []
-        self.decoder: Optional[RansDecoder] = None
+        self.decoders: list[RansDecoder] = []
         self.gc_cdfs = None
         self.gc_lengths = None
         self.gc_offsets = None
 
     def exchange(self, tag: str, indexes, candidate):
-        indexes = np.asarray(indexes)
-        candidate = np.asarray(candidate)
+        """Per-phase symbol exchange; arrays carry a leading batch dim and
+        each image owns its own stream (decoders list / per-image chunks).
+
+        Decode mode never materializes ``candidate`` on the host — that
+        download (round(0-mu), garbage when decoding) would double the
+        per-phase transfer volume.
+        """
+        indexes = np.asarray(indexes).astype(np.int32)
         if self.mode == "encode":
-            self.encoder_chunks.append((candidate.ravel(), indexes.ravel()))
+            self.encoder_chunks.append((np.asarray(candidate), indexes))
             return candidate
         elif self.mode == "decode":
-            symbols = self.decoder.decode_stream(
-                indexes.ravel(), self.gc_cdfs, self.gc_lengths, self.gc_offsets)
-            return symbols.reshape(indexes.shape).astype(np.int32)
+            outs = []
+            for b, dec in enumerate(self.decoders):
+                sym = dec.decode_stream(indexes[b].ravel(), self.gc_cdfs,
+                                        self.gc_lengths, self.gc_offsets)
+                outs.append(sym.reshape(indexes[b].shape))
+            return np.stack(outs).astype(np.int32)
         raise RuntimeError(f"exchange called in mode {self.mode!r} (tag {tag})")
 
 
@@ -144,27 +153,32 @@ class Codec:
 
     # ------------------------------------------------------------------
     def compress(self, x, s: int = 0, inputscale: float = 0.0) -> dict:
-        """x: [1,H,W,3] float in [0,1], H and W multiples of 64.
+        """x: [B,H,W,3] float in [0,1], H and W multiples of 64.
+
+        Batched: every image in the batch is coded in the same device
+        passes (the per-phase host crossings amortize over B), each into
+        its OWN bitstream — ``strings = [y_strings, z_strings]`` with one
+        string per image, decodable individually.
 
         For VBR models, ``s`` selects the gain level and ``inputscale`` (>0)
         overrides it with a continuous rate (reference
         ``mlicpp_vbr.py:535``); both are traced scalars — no recompile.
         """
         self._require_tables()
-        if x.shape[0] != 1:
-            raise NotImplementedError("codec operates per image (B=1)")
+        batch = x.shape[0]
         t0 = time.perf_counter()
         scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
                                  jnp.asarray(inputscale, jnp.float32))
         y, z_symbols = self._analyze(self.params, jnp.asarray(x, jnp.float32))
 
-        # z: factorized-prior coding, per-channel CDF rows.
+        # z: factorized-prior coding, per-channel CDF rows, per image.
         z_np = np.asarray(z_symbols)
         eb_cdfs, eb_lengths, eb_offsets, _ = self._eb
-        z_indexes = np.broadcast_to(
-            np.arange(z_np.shape[-1], dtype=np.int32), z_np.shape)
-        z_string = encode_with_indexes(z_np.ravel(), z_indexes.ravel(),
-                                       eb_cdfs, eb_lengths, eb_offsets)
+        z_idx = np.broadcast_to(np.arange(z_np.shape[-1], dtype=np.int32),
+                                z_np.shape[1:])
+        z_strings = [encode_with_indexes(z_np[b].ravel(), z_idx.ravel(),
+                                         eb_cdfs, eb_lengths, eb_offsets)
+                     for b in range(batch)]
 
         # y: shared codec program in encode mode.
         self._x.mode = "encode"
@@ -172,13 +186,17 @@ class Codec:
         x_hat, y_hat = self._run_codec(y, z_symbols, scale)
         jax.block_until_ready(x_hat)
         self._x.mode = "idle"
-        symbols = np.concatenate([c[0] for c in self._x.encoder_chunks])
-        indexes = np.concatenate([c[1] for c in self._x.encoder_chunks])
-        y_string = encode_with_indexes(symbols, indexes, self._gc.quantized_cdf,
-                                       self._gc.cdf_length, self._gc.offset)
+        y_strings = []
+        for b in range(batch):
+            symbols = np.concatenate([c[0][b].ravel() for c in self._x.encoder_chunks])
+            indexes = np.concatenate([c[1][b].ravel() for c in self._x.encoder_chunks])
+            y_strings.append(encode_with_indexes(
+                symbols, indexes, self._gc.quantized_cdf,
+                self._gc.cdf_length, self._gc.offset))
+        self._x.encoder_chunks = []
         cost_time = time.perf_counter() - t0
         return {
-            "strings": [[y_string], [z_string]],
+            "strings": [y_strings, z_strings],
             "shape": (int(z_np.shape[1]), int(z_np.shape[2])),
             "cost_time": cost_time,
             "x_hat": x_hat,   # encode-side reconstruction (free byproduct)
@@ -187,33 +205,39 @@ class Codec:
 
     # ------------------------------------------------------------------
     def decompress(self, strings, shape, s: int = 0, inputscale: float = 0.0) -> dict:
-        """strings: [[y_string], [z_string]]; shape: (h/4, w/4) of z."""
+        """strings: [y_strings, z_strings] (one per image); shape: (h/4, w/4)."""
         self._require_tables()
         t0 = time.perf_counter()
         scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
                                  jnp.asarray(inputscale, jnp.float32))
-        y_string = strings[0][0]
-        z_string = strings[1][0]
+        y_strings = strings[0]
+        z_strings = strings[1]
+        batch = len(y_strings)
         zh, zw = shape
         n_ch = self.model.cfg.N
 
         eb_cdfs, eb_lengths, eb_offsets, _ = self._eb
-        z_indexes = np.broadcast_to(np.arange(n_ch, dtype=np.int32),
-                                    (1, zh, zw, n_ch))
-        z_symbols = decode_with_indexes(z_string, z_indexes.ravel(),
-                                        eb_cdfs, eb_lengths, eb_offsets)
-        z_symbols = jnp.asarray(z_symbols.reshape(1, zh, zw, n_ch), jnp.int32)
+        z_idx = np.broadcast_to(np.arange(n_ch, dtype=np.int32), (zh, zw, n_ch))
+        z_symbols = np.stack([
+            decode_with_indexes(z_strings[b], z_idx.ravel(), eb_cdfs,
+                                eb_lengths, eb_offsets).reshape(zh, zw, n_ch)
+            for b in range(batch)])
+        z_symbols = jnp.asarray(z_symbols, jnp.int32)
 
         h, w = zh * 4, zw * 4
-        y_zero = jnp.zeros((1, h, w, self.model.cfg.M), jnp.float32)
+        y_zero = jnp.zeros((batch, h, w, self.model.cfg.M), jnp.float32)
 
         self._x.mode = "decode"
-        self._x.decoder = RansDecoder()
-        self._x.decoder.set_stream(y_string)
+        self._x.decoders = []
+        for b in range(batch):
+            dec = RansDecoder()
+            dec.set_stream(y_strings[b])
+            self._x.decoders.append(dec)
         x_hat, y_hat = self._run_codec(y_zero, z_symbols, scale)
         jax.block_until_ready(x_hat)
         self._x.mode = "idle"
-        self._x.decoder.close()
-        self._x.decoder = None
+        for dec in self._x.decoders:
+            dec.close()
+        self._x.decoders = []
         cost_time = time.perf_counter() - t0
         return {"x_hat": x_hat, "y_hat": y_hat, "cost_time": cost_time}

@@ -65,6 +65,11 @@ def _load_native():
     lib.mlic_rans_decode.restype = ctypes.c_int32
     lib.mlic_rans_decode.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64, i32p,
                                      ctypes.c_int64, i32p, i32p, i32p]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.mlic_rans_decode_lut.restype = ctypes.c_int32
+    lib.mlic_rans_decode_lut.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int64,
+                                         i32p, ctypes.c_int64, i32p, i32p,
+                                         u16p, i32p]
     lib.mlic_rans_decode_all.restype = ctypes.c_int32
     lib.mlic_rans_decode_all.argtypes = [u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
                                          ctypes.c_int64, i32p, i32p, i32p]
@@ -76,6 +81,28 @@ _NATIVE = _load_native()
 
 def rans_backend() -> str:
     return "native" if _NATIVE is not None else "numpy"
+
+
+# Per-table O(1) cf -> slot lookup tables (uint16 [n_ctx, 2^16]), cached by
+# the identity of the CDF buffer.  Costs 128 KB per context row; built once
+# per table set (once per checkpoint in practice).
+_LUT_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _slot_lut(cdfs: np.ndarray, cdf_lengths: np.ndarray) -> np.ndarray:
+    key = (cdfs.__array_interface__["data"][0], cdfs.shape[0], cdfs.shape[1])
+    lut = _LUT_CACHE.get(key)
+    if lut is None:
+        n = cdfs.shape[0]
+        cf = np.arange(1 << PROB_BITS, dtype=np.int32)
+        lut = np.empty((n, 1 << PROB_BITS), dtype=np.uint16)
+        for i in range(n):
+            row = cdfs[i, : int(cdf_lengths[i])]
+            lut[i] = (np.searchsorted(row, cf, side="right") - 1).astype(np.uint16)
+        if len(_LUT_CACHE) > 8:
+            _LUT_CACHE.clear()
+        _LUT_CACHE[key] = lut
+    return lut
 
 
 def _as_i32(a) -> np.ndarray:
@@ -255,10 +282,11 @@ class BufferedRansEncoder:
 class RansDecoder:
     """Streaming decoder: set_stream() once, decode_stream() repeatedly."""
 
-    def __init__(self):
+    def __init__(self, use_lut: bool = False):
         self._handle = None
         self._np = None
         self._buf = None
+        self.use_lut = use_lut
 
     def set_stream(self, stream: bytes):
         self.close()
@@ -281,9 +309,19 @@ class RansDecoder:
         if self._handle is None:
             raise RuntimeError("set_stream() must be called first")
         out = np.empty(len(indexes), dtype=np.int32)
-        rc = _NATIVE.mlic_rans_decode(
-            ctypes.c_void_p(self._handle), _i32p(indexes), len(indexes), _i32p(cdfs),
-            cdfs.shape[1], _i32p(cdf_lengths), _i32p(offsets), _i32p(out))
+        if self.use_lut:
+            # O(1) slot lookup; measured SLOWER than binary search on small-
+            # cache hosts (the 8 MB table thrashes), so opt-in only.
+            lut = _slot_lut(cdfs, cdf_lengths)
+            rc = _NATIVE.mlic_rans_decode_lut(
+                ctypes.c_void_p(self._handle), _i32p(indexes), len(indexes),
+                _i32p(cdfs), cdfs.shape[1], _i32p(cdf_lengths), _i32p(offsets),
+                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), _i32p(out))
+        else:
+            rc = _NATIVE.mlic_rans_decode(
+                ctypes.c_void_p(self._handle), _i32p(indexes), len(indexes),
+                _i32p(cdfs), cdfs.shape[1], _i32p(cdf_lengths), _i32p(offsets),
+                _i32p(out))
         if rc != 0:
             raise RuntimeError(f"rANS decode failed with code {rc}")
         return out

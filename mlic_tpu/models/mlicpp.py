@@ -234,7 +234,8 @@ class MLICPlusPlus(nn.Module):
     def _phase_quantities(self, squeeze, y_slice, scales, means, scale):
         sc_sq = squeeze(scales)
         mu_sq = squeeze(means)
-        indexes = build_indexes(sc_sq * scale, self.scale_table)
+        # uint8 indexes: the scale table has 64 rows; 4x smaller downloads.
+        indexes = build_indexes(sc_sq * scale, self.scale_table).astype(jnp.uint8)
         cand = jnp.round((squeeze(y_slice) - mu_sq) * scale).astype(jnp.int32)
         return mu_sq, indexes, cand
 

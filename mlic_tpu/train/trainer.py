@@ -41,6 +41,7 @@ class TrainConfig:
     clip_max_norm: float = 1.0
     optimizer: str = "adam"
     lr_milestones: tuple = ()          # step indices for 10x decay
+    warmup_steps: int = 0              # linear LR warmup (reference warmup.py)
     seed: int = 0
 
 
@@ -60,6 +61,10 @@ def create_train_state(model: MLICPlusPlus, cfg: TrainConfig,
         {"params": p_rng, "noise": n_rng}, x)["params"]
     lr = (multistep_lr(cfg.learning_rate, cfg.lr_milestones)
           if cfg.lr_milestones else cfg.learning_rate)
+    if cfg.warmup_steps:
+        warm = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
+        after = lr if callable(lr) else (lambda step: cfg.learning_rate)
+        lr = optax.join_schedules([warm, after], [cfg.warmup_steps])
     tx = make_optimizer(lr, cfg.aux_learning_rate, cfg.clip_max_norm, cfg.optimizer)
     opt_state = jax.jit(tx.init)(params)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -91,6 +96,39 @@ def make_train_step(model: MLICPlusPlus, tx: optax.GradientTransformation,
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state, rng=rng)
         return new_state, metrics
+
+    return train_step
+
+
+def make_dual_train_step(model: MLICPlusPlus, tx: optax.GradientTransformation,
+                         cfg: TrainConfig) -> Callable:
+    """Two-pass recompression training (reference ``train_one_epoch_dual``,
+    ``MLIC++/utils/training.py:124-207``): pass 1 on the image at lambda,
+    pass 2 re-compresses the detached reconstruction judged against the
+    original image at lambda/2; one fused backward."""
+
+    def loss_fn(params, batch, rng1, rng2):
+        out1 = model.apply({"params": params}, batch, True, rngs={"noise": rng1})
+        rd1 = rate_distortion_loss(out1, batch, cfg.lmbda, cfg.metric)
+        recompressed = jax.lax.stop_gradient(jnp.clip(out1["x_hat"], 0.0, 1.0))
+        out2 = model.apply({"params": params}, recompressed, True,
+                           rngs={"noise": rng2})
+        rd2 = rate_distortion_loss(out2, batch, cfg.lmbda * 0.5, cfg.metric)
+        aux = model.apply({"params": params}, method=MLICPlusPlus.aux_loss)
+        return rd1["loss"] + rd2["loss"] + aux, (rd1, rd2, aux)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: jax.Array):
+        rng, r1, r2 = jax.random.split(state.rng, 3)
+        grads, (rd1, rd2, aux) = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, r1, r2)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {f"first_{k}": v for k, v in rd1.items()}
+        metrics.update({k: v for k, v in rd2.items()})
+        metrics["aux_loss"] = aux
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, rng=rng), metrics
 
     return train_step
 

@@ -85,6 +85,24 @@ def test_steps_and_fused_backends_agree(tiny):
     np.testing.assert_array_equal(np.asarray(d["x_hat"]), np.asarray(e1["x_hat"]))
 
 
+def test_batched_codec_matches_single(tiny):
+    """B images coded in one pass produce the same per-image bitstreams as
+    coding each alone, and batched decompress is bit-exact."""
+    model, params, _ = tiny
+    codec = Codec(model, params)
+    codec.update()
+    xs = jax.random.uniform(jax.random.key(9), (3, 64, 64, 3))
+    enc_b = codec.compress(xs)
+    assert len(enc_b["strings"][0]) == 3 and len(enc_b["strings"][1]) == 3
+    for b in range(3):
+        enc_1 = codec.compress(xs[b:b + 1])
+        assert enc_1["strings"][0][0] == enc_b["strings"][0][b]
+        assert enc_1["strings"][1][0] == enc_b["strings"][1][b]
+    dec_b = codec.decompress(enc_b["strings"], enc_b["shape"])
+    np.testing.assert_array_equal(np.asarray(dec_b["x_hat"]),
+                                  np.asarray(enc_b["x_hat"]))
+
+
 def test_net_decoder_forward(tiny):
     model, params, x = tiny
     out = jax.jit(lambda p, v: model.apply({"params": p}, v,

@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-every", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--vbr", action="store_true", help="VBR multi-rate (MGDA) training")
+    p.add_argument("--dual", action="store_true",
+                   help="two-pass recompression training (train_one_epoch_dual)")
+    p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args(argv)
 
@@ -63,13 +66,16 @@ def main(argv=None):
         lmbda=args.lmbda, metric=args.metrics, learning_rate=args.learning_rate,
         aux_learning_rate=args.aux_learning_rate, clip_max_norm=args.clip_max_norm,
         optimizer=args.optimizer, lr_milestones=tuple(args.lr_milestones),
-        seed=args.seed)
+        warmup_steps=args.warmup_steps, seed=args.seed)
 
     shape = (args.batch_size, args.patch_size, args.patch_size, 3)
     state, tx = create_train_state(model, cfg, input_shape=shape)
     if args.vbr:
         from mlic_tpu.train.vbr import make_vbr_train_step
         step_fn = make_vbr_train_step(model, tx, cfg)
+    elif args.dual:
+        from mlic_tpu.train.trainer import make_dual_train_step
+        step_fn = make_dual_train_step(model, tx, cfg)
     else:
         step_fn = make_train_step(model, tx, cfg)
 
