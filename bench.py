@@ -37,6 +37,8 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "MLICPP_S")
     n_batches = int(os.environ.get("BENCH_IMAGES", "3"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
+    backend = os.environ.get("BENCH_BACKEND", "steps")
+    n_lanes = int(os.environ.get("BENCH_LANES", "256"))
     h, w = 512, 768  # Kodak portrait/landscape canonical size
 
     model = get_model(model_name)
@@ -48,7 +50,7 @@ def main():
     jax.block_until_ready(params)
     vlog(f"init: {time.perf_counter()-t:.1f}s")
 
-    codec = Codec(model, params)
+    codec = Codec(model, params, backend=backend, n_lanes=n_lanes)
     t = time.perf_counter()
     codec.update()
     vlog(f"update: {time.perf_counter()-t:.1f}s")
@@ -56,9 +58,10 @@ def main():
     images = []
     gen = synthetic_batches(batch, 64, steps=n_batches + 1, seed=7)
     for b in gen:
-        # synthetic_batches yields square patches; tile to Kodak shape
+        # synthetic_batches yields square patches; tile to Kodak shape.
+        # uint8 host-side, like a real image pipeline (1 byte/chan upload).
         img = np.tile(b, (1, h // 64 + 1, w // 64 + 1, 1))[:, :h, :w, :]
-        images.append(jnp.asarray(img))
+        images.append(np.round(img * 255).astype(np.uint8))
 
     # Warmup: compile encode+decode paths.
     t = time.perf_counter()
@@ -87,7 +90,8 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 20.0, 4),
         "extra": {"bpp_random_init": round(bpp, 4), "n_images": n,
-                  "batch": batch, "device": str(jax.devices()[0])},
+                  "batch": batch, "backend": backend,
+                  "device": str(jax.devices()[0])},
     }
     print(json.dumps(result))
 

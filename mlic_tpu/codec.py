@@ -78,15 +78,19 @@ class _ExchangeState:
 class Codec:
     """compress()/decompress() driver around a trained MLICPlusPlus."""
 
-    def __init__(self, model: MLICPlusPlus, params: Any, backend: str = "steps"):
-        if backend not in ("steps", "fused"):
+    def __init__(self, model: MLICPlusPlus, params: Any, backend: str = "steps",
+                 n_lanes: int = 256):
+        if backend not in ("steps", "fused", "device"):
             raise ValueError(f"unknown backend {backend!r}")
         self.model = model
         self.params = params
         self.backend = backend
+        self.n_lanes = n_lanes
         self._x = _ExchangeState()
         self._gc: Optional[GaussianConditionalTables] = None
         self._eb = None  # (cdfs, lengths, offsets, medians)
+        self._gc_ext = None  # tables with the pad row (device backend)
+        self._dev_tables = None
         cls = type(model)
 
         self._analyze = jax.jit(
@@ -94,6 +98,14 @@ class Codec:
         self._gain_scale = jax.jit(
             lambda p, s, isc: model.apply({"params": p}, s, isc,
                                           method=cls.gain_scale))
+        if backend == "device":
+            self._device_pass = jax.jit(
+                lambda p, zs, w, lb, cdf, lens, offs, sc: model.apply(
+                    {"params": p}, zs, w, lb, cdf, lens, offs, sc, n_lanes,
+                    method=cls.codec_device_pass))
+            self._encode_pass = jax.jit(
+                lambda p, y, zs, sc: model.apply(
+                    {"params": p}, y, zs, sc, method=cls.codec_encode_pass))
         if backend == "fused":
             self._fused = jax.jit(
                 lambda p, y, zs, sc: model.apply(
@@ -130,6 +142,18 @@ class Codec:
         self._x.gc_cdfs = self._gc.quantized_cdf
         self._x.gc_lengths = self._gc.cdf_length
         self._x.gc_offsets = self._gc.offset
+        if self.backend == "device":
+            # Append the pad row: slot 0 carries ~all mass (pad symbols cost
+            # ~2e-5 bits each), slot 1 is the escape.
+            n, t = self._gc.quantized_cdf.shape
+            cdfs = np.zeros((n + 1, t), np.int32)
+            cdfs[:n] = self._gc.quantized_cdf
+            cdfs[n, :3] = [0, (1 << 16) - 1, 1 << 16]
+            lengths = np.concatenate([self._gc.cdf_length, [3]]).astype(np.int32)
+            offsets = np.concatenate([self._gc.offset, [0]]).astype(np.int32)
+            self._gc_ext = (cdfs, lengths, offsets)
+            from mlic_tpu.entropy.device_rans import device_tables
+            self._dev_tables = device_tables(cdfs, lengths, offsets)
         return True
 
     def _require_tables(self):
@@ -137,6 +161,30 @@ class Codec:
             self.update()
 
     # ------------------------------------------------------------------
+    def _flush_interleaved(self, batch: int) -> list[bytes]:
+        """Pack buffered per-phase symbols into per-image interleaved
+        rans16 streams (device-decodable layout: each phase padded to a
+        multiple of n_lanes with pad-row symbols)."""
+        from mlic_tpu.entropy.rans.coder import encode_interleaved
+        cdfs, lengths, offsets = self._gc_ext
+        pad_row = len(lengths) - 1
+        streams = []
+        for b in range(batch):
+            syms, idxs = [], []
+            for cand, idx in self._x.encoder_chunks:
+                s = cand[b].ravel().astype(np.int32)
+                i = idx[b].ravel().astype(np.int32)
+                pad = (-len(s)) % self.n_lanes
+                if pad:
+                    s = np.concatenate([s, np.zeros(pad, np.int32)])
+                    i = np.concatenate([i, np.full(pad, pad_row, np.int32)])
+                syms.append(s)
+                idxs.append(i)
+            streams.append(encode_interleaved(
+                np.concatenate(syms), np.concatenate(idxs), self.n_lanes,
+                cdfs, lengths, offsets))
+        return streams
+
     def _run_codec(self, y, z_symbols, scale):
         """Run the shared codec program under the current exchange mode."""
         if self.backend == "fused":
@@ -169,7 +217,10 @@ class Codec:
         t0 = time.perf_counter()
         scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
                                  jnp.asarray(inputscale, jnp.float32))
-        y, z_symbols = self._analyze(self.params, jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x)
+        if x.dtype != jnp.uint8:
+            x = x.astype(jnp.float32)
+        y, z_symbols = self._analyze(self.params, x)
 
         # z: factorized-prior coding, per-channel CDF rows, per image.
         z_np = np.asarray(z_symbols)
@@ -180,6 +231,37 @@ class Codec:
                                          eb_cdfs, eb_lengths, eb_offsets)
                      for b in range(batch)]
 
+        if self.backend == "device":
+            # Pure one-program encode: two downloads, no per-phase crossings.
+            x_hat, y_hat, sym, idx, overflow = self._encode_pass(
+                self.params, y, z_symbols, scale)
+            if not bool(overflow):
+                sym = np.asarray(sym).astype(np.int32)
+                idx = np.asarray(idx)
+                n_phases = 2 * self.model.cfg.slice_num
+                n_per = sym.shape[1] // n_phases
+                self._x.encoder_chunks = [
+                    (sym[:, k * n_per:(k + 1) * n_per],
+                     idx[:, k * n_per:(k + 1) * n_per])
+                    for k in range(n_phases)]
+            else:
+                # int16 overflow (untrained/degenerate latents): redo the
+                # symbol collection through the int32 steps path.
+                self._x.mode = "encode"
+                self._x.encoder_chunks = []
+                x_hat, y_hat = self._run_codec(y, z_symbols, scale)
+                jax.block_until_ready(x_hat)
+                self._x.mode = "idle"
+            y_strings = self._flush_interleaved(batch)
+            self._x.encoder_chunks = []
+            return {
+                "strings": [y_strings, z_strings],
+                "shape": (int(z_np.shape[1]), int(z_np.shape[2])),
+                "cost_time": time.perf_counter() - t0,
+                "x_hat": x_hat,
+                "y_hat": y_hat,
+            }
+
         # y: shared codec program in encode mode.
         self._x.mode = "encode"
         self._x.encoder_chunks = []
@@ -188,8 +270,10 @@ class Codec:
         self._x.mode = "idle"
         y_strings = []
         for b in range(batch):
-            symbols = np.concatenate([c[0][b].ravel() for c in self._x.encoder_chunks])
-            indexes = np.concatenate([c[1][b].ravel() for c in self._x.encoder_chunks])
+            symbols = np.concatenate([c[0][b].ravel()
+                                      for c in self._x.encoder_chunks])
+            indexes = np.concatenate([c[1][b].ravel()
+                                      for c in self._x.encoder_chunks])
             y_strings.append(encode_with_indexes(
                 symbols, indexes, self._gc.quantized_cdf,
                 self._gc.cdf_length, self._gc.offset))
@@ -223,6 +307,30 @@ class Codec:
                                 eb_lengths, eb_offsets).reshape(zh, zw, n_ch)
             for b in range(batch)])
         z_symbols = jnp.asarray(z_symbols, jnp.int32)
+
+        if self.backend == "device":
+            from mlic_tpu.entropy.rans.coder import parse_interleaved
+            words_list, begins = [], []
+            offset = 0
+            for b in range(batch):
+                wds, beg = parse_interleaved(y_strings[b])
+                words_list.append(wds.astype(np.int32))
+                begins.append(beg.astype(np.int64) + offset)
+                offset += len(wds)
+            words = np.concatenate(words_list)
+            # pad the words buffer to a power-of-2 length: at most ~log2
+            # distinct compilations per resolution instead of one per stream
+            size = 1 << max(int(np.ceil(np.log2(max(len(words), 1)))), 14)
+            padded = np.zeros(size, np.int32)
+            padded[:len(words)] = words
+            lane_begin = np.concatenate(begins).astype(np.int32)
+            cdf_dev, lens_dev, offs_dev = self._dev_tables
+            x_hat, y_hat = self._device_pass(
+                self.params, z_symbols, jnp.asarray(padded),
+                jnp.asarray(lane_begin), cdf_dev, lens_dev, offs_dev, scale)
+            jax.block_until_ready(x_hat)
+            return {"x_hat": x_hat, "y_hat": y_hat,
+                    "cost_time": time.perf_counter() - t0}
 
         h, w = zh * 4, zw * 4
         y_zero = jnp.zeros((batch, h, w, self.model.cfg.M), jnp.float32)

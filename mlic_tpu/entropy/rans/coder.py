@@ -73,6 +73,16 @@ def _load_native():
     lib.mlic_rans_decode_all.restype = ctypes.c_int32
     lib.mlic_rans_decode_all.argtypes = [u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p,
                                          ctypes.c_int64, i32p, i32p, i32p]
+    u16p2 = ctypes.POINTER(ctypes.c_uint16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.mlic_rans16_encode_interleaved.restype = ctypes.c_int64
+    lib.mlic_rans16_encode_interleaved.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p, ctypes.c_int64,
+        i32p, i32p, u16p2, ctypes.c_int64, i64p, i64p]
+    lib.mlic_rans16_decode_interleaved.restype = ctypes.c_int32
+    lib.mlic_rans16_decode_interleaved.argtypes = [
+        u16p2, i64p, ctypes.c_int32, i32p, ctypes.c_int64, i32p,
+        ctypes.c_int64, i32p, i32p, i32p]
     return lib
 
 
@@ -250,6 +260,75 @@ def decode_with_indexes(stream: bytes, indexes, cdfs, cdf_lengths, offsets) -> n
     dec = RansDecoder()
     dec.set_stream(stream)
     return dec.decode_stream(indexes, cdfs, cdf_lengths, offsets)
+
+
+# ---------------------------------------------------------------------------
+# Interleaved multi-lane rans16 (device-decodable format)
+# ---------------------------------------------------------------------------
+def encode_interleaved(symbols, indexes, n_lanes: int, cdfs, cdf_lengths,
+                       offsets) -> bytes:
+    """Encode into ``n_lanes`` lockstep rans16 lane streams.
+
+    Byte layout: uint32 n_lanes | uint32 n_words | uint32 lane_begin[n_lanes]
+    | uint16 words[n_words] — everything little-endian.  Decodable on-device
+    by ``mlic_tpu.entropy.device_rans`` or on host by
+    ``decode_interleaved`` (test oracle).
+    """
+    if _NATIVE is None:
+        raise RuntimeError("interleaved rANS requires the native library")
+    symbols = _as_i32(symbols).ravel()
+    indexes = _as_i32(indexes).ravel()
+    cdfs = _as_i32(cdfs)
+    cdf_lengths = _as_i32(cdf_lengths).ravel()
+    offsets = _as_i32(offsets).ravel()
+    n = len(symbols)
+    cap = 8 * max(n, n_lanes) + 4 * n_lanes + 64
+    while True:
+        words = np.empty(cap, dtype=np.uint16)
+        begin = np.empty(n_lanes, dtype=np.int64)
+        end = np.empty(n_lanes, dtype=np.int64)
+        total = _NATIVE.mlic_rans16_encode_interleaved(
+            _i32p(symbols), _i32p(indexes), n, n_lanes, _i32p(cdfs),
+            cdfs.shape[1], _i32p(cdf_lengths), _i32p(offsets),
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), cap,
+            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if total >= 0:
+            break
+        cap *= 4
+    header = np.asarray([n_lanes, total], dtype=np.uint32).tobytes()
+    return header + begin.astype(np.uint32).tobytes() + words[:total].tobytes()
+
+
+def parse_interleaved(stream: bytes):
+    """-> (words uint16 [n_words], lane_begin int64 [n_lanes])."""
+    head = np.frombuffer(stream[:8], dtype=np.uint32)
+    n_lanes, n_words = int(head[0]), int(head[1])
+    off = 8 + 4 * n_lanes
+    begin = np.frombuffer(stream[8:off], dtype=np.uint32).astype(np.int64)
+    words = np.frombuffer(stream[off:off + 2 * n_words], dtype=np.uint16)
+    return words, begin
+
+
+def decode_interleaved(stream: bytes, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+    """Host reference decode of the interleaved format."""
+    if _NATIVE is None:
+        raise RuntimeError("interleaved rANS requires the native library")
+    words, begin = parse_interleaved(stream)
+    words = np.ascontiguousarray(words)
+    indexes = _as_i32(indexes).ravel()
+    cdfs = _as_i32(cdfs)
+    cdf_lengths = _as_i32(cdf_lengths).ravel()
+    offsets = _as_i32(offsets).ravel()
+    out = np.empty(len(indexes), dtype=np.int32)
+    rc = _NATIVE.mlic_rans16_decode_interleaved(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(begin), _i32p(indexes), len(indexes), _i32p(cdfs), cdfs.shape[1],
+        _i32p(cdf_lengths), _i32p(offsets), _i32p(out))
+    if rc != 0:
+        raise RuntimeError(f"interleaved decode failed: {rc}")
+    return out
 
 
 class BufferedRansEncoder:

@@ -244,3 +244,150 @@ int32_t mlic_rans_decode_all(const uint8_t* stream, int64_t stream_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Interleaved multi-lane rans16: 32-bit state, 16-bit renormalization words,
+// 16-bit probabilities.  Position p belongs to lane p % n_lanes; all lanes
+// advance in lockstep, which is what lets a TPU decode L symbols per step as
+// pure vector arithmetic (see mlic_tpu/entropy/device_rans.py).  Each lane's
+// stream (in decode order) is [state_hi16, state_lo16, renorm words...].
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t kRans16L = 1u << 16;
+
+struct Encoder16 {
+  uint32_t x = kRans16L;
+  std::vector<uint16_t> words;  // reverse stream order
+
+  inline void put(uint32_t start, uint32_t freq) {
+    uint32_t x_max = freq << 16;
+    while (x >= x_max) {
+      words.push_back(static_cast<uint16_t>(x));
+      x >>= 16;
+    }
+    x = ((x / freq) << kProbBits) + (x % freq) + start;
+  }
+
+  inline void put_bypass5(uint32_t s5) {
+    put(s5 << (kProbBits - kBypassBits), kBypassFreq);
+  }
+
+  inline void put_escape_payload(int64_t value, int32_t max_value) {
+    uint64_t u = value < 0 ? static_cast<uint64_t>(-2 * value - 1)
+                           : static_cast<uint64_t>(2 * (value - max_value));
+    uint32_t digits[17];
+    int n = 0;
+    do {
+      digits[n++] = static_cast<uint32_t>(u & 0xF);
+      u >>= 4;
+    } while (u != 0);
+    for (int i = n - 1; i >= 0; --i) {
+      put_bypass5(digits[i] | (i + 1 < n ? 0x10u : 0u));
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode n symbols into n_lanes interleaved rans16 lane streams.
+// out_words receives all lanes' words; lane l occupies
+// [lane_begin[l], lane_end[l]) in decode order.  Returns total words or -1.
+int64_t mlic_rans16_encode_interleaved(
+    const int32_t* symbols, const int32_t* indexes, int64_t n, int32_t n_lanes,
+    const int32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, uint16_t* out_words, int64_t cap,
+    int64_t* lane_begin, int64_t* lane_end) {
+  int64_t w = 0;
+  for (int32_t lane = 0; lane < n_lanes; ++lane) {
+    Encoder16 enc;
+    // This lane's symbols are positions lane, lane+L, ...; encode in reverse.
+    int64_t last = lane + ((n - 1 - lane) / n_lanes) * n_lanes;
+    for (int64_t p = last; p >= lane; p -= n_lanes) {
+      const int32_t i = indexes[p];
+      const int32_t* cdf = cdfs + static_cast<int64_t>(i) * cdf_stride;
+      const int32_t max_value = cdf_lengths[i] - 2;
+      const int64_t value = static_cast<int64_t>(symbols[p]) - offsets[i];
+      int32_t slot;
+      if (value >= 0 && value < max_value) {
+        slot = static_cast<int32_t>(value);
+      } else {
+        enc.put_escape_payload(value, max_value);
+        slot = max_value;
+      }
+      enc.put(static_cast<uint32_t>(cdf[slot]),
+              static_cast<uint32_t>(cdf[slot + 1] - cdf[slot]));
+    }
+    const int64_t lane_words = 2 + static_cast<int64_t>(enc.words.size());
+    if (w + lane_words > cap) return -1;
+    lane_begin[lane] = w;
+    out_words[w++] = static_cast<uint16_t>(enc.x >> 16);
+    out_words[w++] = static_cast<uint16_t>(enc.x);
+    for (size_t j = enc.words.size(); j-- > 0;) {
+      out_words[w++] = enc.words[j];
+    }
+    lane_end[lane] = w;
+  }
+  return w;
+}
+
+// Host reference decoder for the interleaved format (test oracle).
+int32_t mlic_rans16_decode_interleaved(
+    const uint16_t* words, const int64_t* lane_begin, int32_t n_lanes,
+    const int32_t* indexes, int64_t n, const int32_t* cdfs, int64_t cdf_stride,
+    const int32_t* cdf_lengths, const int32_t* offsets, int32_t* out_symbols) {
+  std::vector<uint32_t> x(n_lanes);
+  std::vector<int64_t> ptr(n_lanes);
+  for (int32_t l = 0; l < n_lanes; ++l) {
+    int64_t b = lane_begin[l];
+    x[l] = (static_cast<uint32_t>(words[b]) << 16) | words[b + 1];
+    ptr[l] = b + 2;
+  }
+  auto renorm = [&](int32_t l) {
+    if (x[l] < kRans16L) {
+      x[l] = (x[l] << 16) | words[ptr[l]++];
+    }
+  };
+  auto bypass5 = [&](int32_t l) -> uint32_t {
+    uint32_t cf = x[l] & 0xFFFF;
+    uint32_t s5 = cf >> (kProbBits - kBypassBits);
+    x[l] = kBypassFreq * (x[l] >> kProbBits) + cf -
+           (s5 << (kProbBits - kBypassBits));
+    renorm(l);
+    return s5;
+  };
+  for (int64_t p = 0; p < n; ++p) {
+    const int32_t l = static_cast<int32_t>(p % n_lanes);
+    const int32_t i = indexes[p];
+    const int32_t* cdf = cdfs + static_cast<int64_t>(i) * cdf_stride;
+    const int32_t len = cdf_lengths[i];
+    const int32_t max_value = len - 2;
+    const uint32_t cf = x[l] & 0xFFFF;
+    const int32_t slot = find_symbol(cdf, len - 1, cf);
+    x[l] = static_cast<uint32_t>(cdf[slot + 1] - cdf[slot]) * (x[l] >> kProbBits)
+           + cf - static_cast<uint32_t>(cdf[slot]);
+    renorm(l);
+    int64_t value;
+    if (slot == max_value) {
+      uint64_t u = 0;
+      int shift = 0;
+      uint32_t s5;
+      do {
+        s5 = bypass5(l);
+        u |= static_cast<uint64_t>(s5 & 0xF) << shift;
+        shift += 4;
+      } while ((s5 & 0x10) && shift < 68);
+      value = (u & 1) ? -static_cast<int64_t>((u + 1) >> 1)
+                      : static_cast<int64_t>(u >> 1) + max_value;
+    } else {
+      value = slot;
+    }
+    out_symbols[p] = static_cast<int32_t>(value + offsets[i]);
+  }
+  return 0;
+}
+
+}  // extern "C"

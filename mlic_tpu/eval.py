@@ -66,6 +66,36 @@ def decompress_one_image(codec: Codec, path: str, vbr: bool = False) -> dict:
             "dec_time": out["cost_time"]}
 
 
+def _gaussian_blur(x: np.ndarray, sigma: float = 1.0, ksize: int = 5) -> np.ndarray:
+    """Separable Gaussian blur on [B,H,W,C] (host-side, numpy)."""
+    ax = np.arange(ksize) - (ksize - 1) / 2
+    k = np.exp(-0.5 * (ax / sigma) ** 2)
+    k /= k.sum()
+    out = x
+    for axis in (1, 2):
+        pad = [(0, 0)] * 4
+        pad[axis] = ((ksize - 1) // 2, (ksize - 1) // 2)
+        xp = np.pad(out, pad, mode="edge")
+        out = sum(k[i] * np.take(xp, np.arange(out.shape[axis]) + i, axis=axis)
+                  for i in range(ksize))
+    return out.astype(x.dtype)
+
+
+def compress_bpp_constrained(codec: Codec, x: np.ndarray, path: str,
+                             max_bpp: float = 0.100, max_rounds: int = 8,
+                             s: Optional[int] = None) -> dict:
+    """Blur the input until the file rate is <= max_bpp (the reference's
+    bpp-constraint loop, ``utils/testing.py:349,386-390``)."""
+    out = compress_one_image(codec, x, path, s=s)
+    rounds = 0
+    while out["bpp"] > max_bpp and rounds < max_rounds:
+        x = _gaussian_blur(np.asarray(x, np.float32))
+        out = compress_one_image(codec, x, path, s=s)
+        rounds += 1
+    out["blur_rounds"] = rounds
+    return out
+
+
 def evaluate_codec(codec: Codec, images: Iterable[np.ndarray], save_dir: str,
                    s: Optional[int] = None, log=print) -> dict:
     """Round-trip every image through a real file; average metrics."""

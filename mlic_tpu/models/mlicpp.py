@@ -209,7 +209,11 @@ class MLICPlusPlus(nn.Module):
 
     # ------------------------- analysis only ---------------------------
     def analyze(self, x):
-        """Encoder front half: x -> (y, z_symbols) for the codec driver."""
+        """Encoder front half: x -> (y, z_symbols) for the codec driver.
+        Accepts uint8 images (scaled by 1/255) to keep the host->device
+        transfer at 1 byte/channel."""
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
         y = self.g_a(x)
         z = self.h_a(y)
         medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
@@ -412,6 +416,152 @@ class MLICPlusPlus(nn.Module):
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         x_hat = self.g_s(y_hat)
         return x_hat, y_hat
+
+    def codec_device_pass(self, z_symbols, words, lane_begin, cdf_dev,
+                          cdf_lens, cdf_offs, scale, n_lanes: int):
+        """Single-program decompress with ON-DEVICE interleaved rANS.
+
+        The reference crosses device->host twice per slice to run its C++
+        rANS (``mlicpp.py:292-378``); here the bitstream (16-bit words of
+        ``n_lanes`` lockstep rans16 lanes per image) is uploaded once and
+        decoded inside the jitted program by ``entropy.device_rans`` —
+        zero host involvement on the critical path.
+
+        Args:
+          z_symbols: int32 [B,h/4,w/4,N].
+          words: int32 [W] concatenated 16-bit stream words (all images).
+          lane_begin: int32 [B*n_lanes] per-lane word offsets into ``words``.
+          cdf_dev/cdf_lens/cdf_offs: device CDF tables WITH the extra pad row
+            appended (row id = cdf_dev.shape[0]-1).
+          scale: VBR gain (1.0 fixed-rate).
+        Returns: (x_hat, y_hat)
+        """
+        from mlic_tpu.entropy.device_rans import make_decoder
+
+        cfg = self.cfg
+        C = cfg.slice_ch
+        scale = jnp.asarray(scale, jnp.float32)
+        rescale = 1.0 / scale
+        pad_row = cdf_dev.shape[0] - 1
+        b = z_symbols.shape[0]
+        lanes_total = b * n_lanes
+
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        z_hat = z_symbols.astype(jnp.float32) + medians
+        hyper_params = self.h_s(z_hat)
+        _, hyper_means = self._chunk2(hyper_params)
+
+        init, decode = make_decoder(words)
+        carry = init(lane_begin)
+
+        def phase(carry, squeeze, unsqueeze, scales, means):
+            sc_sq = squeeze(scales)
+            mu_sq = squeeze(means)
+            idx = build_indexes(sc_sq * scale, self.scale_table)  # [B,h,w2,C]
+            n_img = idx.shape[1] * idx.shape[2] * idx.shape[3]
+            steps = -(-n_img // n_lanes)  # ceil
+            pad = steps * n_lanes - n_img
+            flat = idx.reshape(b, n_img)
+            flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=pad_row)
+            # position order: step-major, image-major, lane-minor
+            ordered = flat.reshape(b, steps, n_lanes).transpose(1, 0, 2).reshape(-1)
+            new_carry, sym = decode(carry, ordered, cdf_dev, cdf_lens, cdf_offs)
+            sym = sym.reshape(steps, b, n_lanes).transpose(1, 0, 2).reshape(b, -1)
+            sym = sym[:, :n_img].reshape(mu_sq.shape)
+            return new_carry, unsqueeze(sym.astype(jnp.float32) * rescale + mu_sq)
+
+        y_hat_slices = []
+        for idx in range(cfg.slice_num):
+            inter_ctx, channel_ctx = self._slice_ctx(idx, y_hat_slices)
+            params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
+            scales_a, means_a = self._chunk2(params_anchor)
+            carry, slice_anchor = phase(carry, ckbd_anchor_squeeze,
+                                        ckbd_anchor_unsqueeze, scales_a, means_a)
+            lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
+            slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
+
+            local_ctx = self.local_context[idx](slice_anchor)
+            intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
+                         if idx else None)
+            params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
+                                               inter_ctx, channel_ctx)
+            scales_na, means_na = self._chunk2(params_na)
+            carry, slice_nonanchor = phase(carry, ckbd_nonanchor_squeeze,
+                                           ckbd_nonanchor_unsqueeze, scales_na, means_na)
+            y_hat_slice = slice_nonanchor + slice_anchor
+            lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices,
+                               y_hat_slice)
+            y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        return self.g_s(y_hat), y_hat
+
+    def codec_encode_pass(self, y, z_symbols, scale):
+        """Pure (no-exchange) encode program: computes every phase's
+        symbols/indexes in one jit.  The host packs the interleaved streams
+        from two downloads (symbols, indexes) — no per-phase crossings.
+
+        Numerical contract: the per-phase math is the same code as
+        ``codec_device_pass``; cross-program bit-equality is asserted by the
+        backend tests (and decode failures are detectable as reconstruction
+        mismatch since the encoder also returns its x_hat).
+
+        Returns (x_hat, y_hat, symbols_concat int16 [B,total],
+        indexes_concat uint8 [B,total], overflow bool) — symbols travel as
+        int16 to halve the download; ``overflow`` flags any |symbol| beyond
+        int16 (essentially impossible with a trained model; the driver falls
+        back to the int32 steps path if set).
+        """
+        cfg = self.cfg
+        C = cfg.slice_ch
+        scale = jnp.asarray(scale, jnp.float32)
+        rescale = 1.0 / scale
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        z_hat = z_symbols.astype(jnp.float32) + medians
+        hyper_params = self.h_s(z_hat)
+        _, hyper_means = self._chunk2(hyper_params)
+
+        syms, idxs = [], []
+
+        def phase(squeeze, unsqueeze, y_slice, scales, means):
+            mu_sq, indexes, cand = self._phase_quantities(
+                squeeze, y_slice, scales, means, scale)
+            syms.append(cand.reshape(cand.shape[0], -1))
+            idxs.append(indexes.reshape(cand.shape[0], -1))  # uint8: slim download
+            return unsqueeze(cand.astype(jnp.float32) * rescale + mu_sq)
+
+        y_hat_slices = []
+        for idx in range(cfg.slice_num):
+            y_slice = y[..., idx * C:(idx + 1) * C]
+            inter_ctx, channel_ctx = self._slice_ctx(idx, y_hat_slices)
+            params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
+            scales_a, means_a = self._chunk2(params_anchor)
+            slice_anchor = phase(ckbd_anchor_squeeze, ckbd_anchor_unsqueeze,
+                                 y_slice, scales_a, means_a)
+            lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
+            slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
+
+            local_ctx = self.local_context[idx](slice_anchor)
+            intra_ctx = (self.global_intra_context[idx - 1](y_hat_slices[-1], slice_anchor)
+                         if idx else None)
+            params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
+                                               inter_ctx, channel_ctx)
+            scales_na, means_na = self._chunk2(params_na)
+            slice_nonanchor = phase(ckbd_nonanchor_squeeze, ckbd_nonanchor_unsqueeze,
+                                    y_slice, scales_na, means_na)
+            y_hat_slice = slice_nonanchor + slice_anchor
+            lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices,
+                               y_hat_slice)
+            y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self.g_s(y_hat)
+        sym32 = jnp.concatenate(syms, 1)
+        overflow = jnp.any(jnp.abs(sym32) > 32767)
+        return (x_hat, y_hat, sym32.astype(jnp.int16),
+                jnp.concatenate(idxs, 1), overflow)
 
     # --------------------- decode-complexity proxy ---------------------
     def net_decoder_forward(self, z_shape_source):

@@ -133,6 +133,36 @@ def make_dual_train_step(model: MLICPlusPlus, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_poelic_train_step(model: MLICPlusPlus, tx: optax.GradientTransformation,
+                           cfg: TrainConfig, vgg_apply, vgg_params) -> Callable:
+    """Perceptual (POELIC) training step: Charbonnier + VGG-feature +
+    patch-style loss (reference ``POELIC_Loss_Trainer``,
+    ``compression_trainer.py:733-736`` with ``rd_loss.py:199-260``)."""
+    from mlic_tpu.perceptual import rate_distortion_poelic_loss
+
+    def loss_fn(params, batch, noise_rng):
+        out = model.apply({"params": params}, batch, True,
+                          rngs={"noise": noise_rng})
+        rd = rate_distortion_poelic_loss(out, batch, cfg.lmbda,
+                                         vgg_apply, vgg_params)
+        aux = model.apply({"params": params}, method=MLICPlusPlus.aux_loss)
+        return rd["loss"] + aux, (rd, aux)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: jax.Array):
+        rng, noise_rng = jax.random.split(state.rng)
+        grads, (rd, aux) = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, noise_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(rd)
+        metrics["aux_loss"] = aux
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state, rng=rng), metrics
+
+    return train_step
+
+
 def make_eval_step(model: MLICPlusPlus, cfg: TrainConfig) -> Callable:
     """Full-image eval forward (round quantization), RD metrics + PSNR."""
 

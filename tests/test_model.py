@@ -103,6 +103,20 @@ def test_batched_codec_matches_single(tiny):
                                   np.asarray(enc_b["x_hat"]))
 
 
+def test_device_backend_roundtrip(tiny):
+    """On-device rANS decompress: encode (steps executables, interleaved
+    flush) -> single-program device decode must reproduce the encoder's
+    reconstruction bit-exactly, and match the steps-backend decode."""
+    model, params, x = tiny
+    c_dev = Codec(model, params, backend="device", n_lanes=32)
+    c_dev.update()
+    xs = jax.random.uniform(jax.random.key(11), (2, 64, 64, 3))
+    enc = c_dev.compress(xs)
+    dec = c_dev.decompress(enc["strings"], enc["shape"])
+    np.testing.assert_array_equal(np.asarray(dec["y_hat"]), np.asarray(enc["y_hat"]))
+    np.testing.assert_array_equal(np.asarray(dec["x_hat"]), np.asarray(enc["x_hat"]))
+
+
 def test_net_decoder_forward(tiny):
     model, params, x = tiny
     out = jax.jit(lambda p, v: model.apply({"params": p}, v,
