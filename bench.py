@@ -42,6 +42,10 @@ def main():
     h, w = 512, 768  # Kodak portrait/landscape canonical size
 
     model = get_model(model_name)
+    if os.environ.get("BENCH_BF16", "1") == "1":
+        import dataclasses
+        model = type(model)(cfg=dataclasses.replace(
+            model.cfg, transform_dtype="bfloat16"))
     rng = {"params": jax.random.key(0), "noise": jax.random.key(1)}
     # init at the coding size so no extra compile of g_a at another shape
     x0 = jnp.zeros((batch, h, w, 3), jnp.float32)

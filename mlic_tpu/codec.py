@@ -100,8 +100,8 @@ class Codec:
                                           method=cls.gain_scale))
         if backend == "device":
             self._device_pass = jax.jit(
-                lambda p, zs, w, lb, cdf, lens, offs, sc: model.apply(
-                    {"params": p}, zs, w, lb, cdf, lens, offs, sc, n_lanes,
+                lambda p, zs, w, lb, tables, sc: model.apply(
+                    {"params": p}, zs, w, lb, tables, sc, n_lanes,
                     method=cls.codec_device_pass))
             self._encode_pass = jax.jit(
                 lambda p, y, zs, sc: model.apply(
@@ -324,10 +324,9 @@ class Codec:
             padded = np.zeros(size, np.int32)
             padded[:len(words)] = words
             lane_begin = np.concatenate(begins).astype(np.int32)
-            cdf_dev, lens_dev, offs_dev = self._dev_tables
             x_hat, y_hat = self._device_pass(
                 self.params, z_symbols, jnp.asarray(padded),
-                jnp.asarray(lane_begin), cdf_dev, lens_dev, offs_dev, scale)
+                jnp.asarray(lane_begin), self._dev_tables, scale)
             jax.block_until_ready(x_hat)
             return {"x_hat": x_hat, "y_hat": y_hat,
                     "cost_time": time.perf_counter() - t0}

@@ -4,11 +4,16 @@ The TPU-native answer to the reference's per-phase device→host→device rANS
 round trips (SURVEY.md §3.4: "the main latency sink"): symbols are coded
 into L lockstep rans16 lanes (32-bit state, 16-bit renorm words, 16-bit
 probabilities — see ``rans/rans.cpp``), so the decoder advances all L lanes
-per step with pure vector arithmetic + two gathers (CDF binary search rounds
-and one stream-word fetch).  The whole decompress becomes ONE compiled
-program; the bitstream is uploaded once.
+per step with pure vector arithmetic.
 
-Everything here is uint32 math under ``jax.jit``; no host callbacks.
+Per decoded symbol the kernel does THREE dynamic gathers total:
+  * ``lut_sf[row, cf]``  -> packed (freq << 16 | start) uint32
+  * ``lut_slot[row, cf]``-> slot (the decoded value before offset)
+  * one stream-word fetch for renormalization
+The cf->slot/start/freq lookup tables are precomputed on host from the
+integer CDFs (O(1) replaces a 12-round sequential binary search, which
+dominated the scan on TPU).  Everything is uint32 math under ``jax.jit``;
+no host callbacks.
 """
 
 from __future__ import annotations
@@ -27,15 +32,33 @@ _MAX_BYPASS_DIGITS = 17
 
 def device_tables(cdfs: np.ndarray, cdf_lengths: np.ndarray,
                   offsets: np.ndarray):
-    """Host -> device CDF tables: pad rows beyond their length with 2^16 so a
-    fixed-iteration binary search never selects a dead slot."""
-    dev = np.array(cdfs, dtype=np.int32, copy=True)
-    n, t = dev.shape
-    col = np.arange(t)[None, :]
-    dev[col >= np.asarray(cdf_lengths).reshape(-1, 1)] = 1 << 16
-    return (jnp.asarray(dev, jnp.int32),
-            jnp.asarray(np.asarray(cdf_lengths), jnp.int32),
-            jnp.asarray(np.asarray(offsets), jnp.int32))
+    """Host -> device decode tables.
+
+    Returns a dict of jnp arrays:
+      lut_sf   uint32 [n_rows, 2^16]: (freq << 16) | start per (row, cf)
+      lut_slot int32  [n_rows, 2^16]: slot per (row, cf)
+      max_value int32 [n_rows]: escape slot id (cdf_length - 2)
+      offsets  int32  [n_rows]
+    """
+    cdfs = np.asarray(cdfs, np.int64)
+    n = cdfs.shape[0]
+    cf = np.arange(1 << PROB_BITS, dtype=np.int64)
+    lut_sf = np.empty((n, 1 << PROB_BITS), np.uint32)
+    lut_slot = np.empty((n, 1 << PROB_BITS), np.int32)
+    for i in range(n):
+        row = cdfs[i, : int(cdf_lengths[i])]
+        slot = np.searchsorted(row, cf, side="right") - 1
+        start = row[slot]
+        freq = row[slot + 1] - start
+        lut_sf[i] = ((freq.astype(np.uint32) << 16)
+                     | start.astype(np.uint32))
+        lut_slot[i] = slot.astype(np.int32)
+    return {
+        "lut_sf": jnp.asarray(lut_sf),
+        "lut_slot": jnp.asarray(lut_slot),
+        "max_value": jnp.asarray(np.asarray(cdf_lengths, np.int32) - 2),
+        "offsets": jnp.asarray(np.asarray(offsets, np.int32)),
+    }
 
 
 def rans_init(words: jax.Array, lane_begin: jax.Array):
@@ -60,7 +83,7 @@ def _renorm(x, ptr, words, active=None):
 def _bypass_payload(x, ptr, words, esc, max_value):
     """Masked escape decoding: lanes in ``esc`` read zigzag 4-bit digits."""
     u = jnp.zeros_like(x)
-    shift = jnp.zeros_like(x, jnp.int32)
+    shift = jnp.zeros(x.shape, jnp.int32)
     active = esc
 
     def digit_step(_, carry):
@@ -85,38 +108,38 @@ def _bypass_payload(x, ptr, words, esc, max_value):
 
 
 def make_decoder(words: jax.Array):
-    """Bind a stream-words buffer; returns (init_fn, decode_fn)."""
+    """Bind a stream-words buffer; returns (init_fn, decode_fn).
+
+    decode_fn(carry, indexes, tables) decodes ``indexes.size`` symbols
+    (a multiple of the lane count) in position order, where ``tables`` is
+    the dict from ``device_tables``.
+    """
 
     def init(lane_begin):
         return rans_init(words, lane_begin)
 
-    def decode(carry, indexes, cdf_dev, cdf_lengths, offsets):
+    def decode(carry, indexes, tables):
         x, ptr = carry
         L = x.shape[0]
         n = indexes.shape[0]
         steps = n // L
         idx_sl = indexes.reshape(steps, L)
-        t = cdf_dev.shape[1]
-        n_search = int(np.ceil(np.log2(t)))
+        lut_sf = tables["lut_sf"]
+        lut_slot = tables["lut_slot"]
+        max_value_t = tables["max_value"]
+        offsets_t = tables["offsets"]
 
         def step(c, row):
             x, ptr = c
             cf = (x & _MASK16).astype(jnp.int32)
-            lo = jnp.zeros((L,), jnp.int32)
-            hi = jnp.full((L,), t - 2, jnp.int32)
-            for _ in range(n_search):
-                mid = (lo + hi + 1) >> 1
-                v = cdf_dev[row, mid]
-                take = v <= cf
-                lo = jnp.where(take, mid, lo)
-                hi = jnp.where(take, hi, mid - 1)
-            slot = lo
-            start = cdf_dev[row, slot].astype(jnp.uint32)
-            freq = (cdf_dev[row, slot + 1] - cdf_dev[row, slot]).astype(jnp.uint32)
+            sf = lut_sf[row, cf]
+            slot = lut_slot[row, cf]
+            start = sf & _MASK16
+            freq = sf >> 16
             x = freq * (x >> 16) + (x & _MASK16) - start
             x, ptr = _renorm(x, ptr, words)
 
-            max_value = cdf_lengths[row] - 2
+            max_value = max_value_t[row]
             esc = slot == max_value
 
             def with_escape(args):
@@ -126,7 +149,7 @@ def make_decoder(words: jax.Array):
 
             x, ptr, value = jax.lax.cond(
                 jnp.any(esc), with_escape, lambda a: a, (x, ptr, slot))
-            return (x, ptr), value + offsets[row]
+            return (x, ptr), value + offsets_t[row]
 
         (x, ptr), sym = jax.lax.scan(step, (x, ptr), idx_sl)
         return (x, ptr), sym.reshape(n)

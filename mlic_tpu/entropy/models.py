@@ -205,6 +205,44 @@ class EntropyBottleneck(nn.Module):
         return jnp.sum(jnp.abs(logits - target))
 
 
+class EntropyBottleneckVbr(EntropyBottleneck):
+    """Factorized prior with a variable quantization step ``qs``.
+
+    Reference: ``EntropyBottleneckVbr`` used by the VBR model when
+    ``vr_entbttlnck=True`` (``mlicpp_vbr.py:104-117``): the hyper-latent is
+    quantized with step ``qs`` derived from the gain (``gayn2zqstep`` MLP,
+    lower-bounded at 0.5) and likelihoods integrate the density over
+    ``±qs/2`` around the quantized value.
+    """
+
+    def quantize_variable(self, z: jax.Array, qs) -> jax.Array:
+        """STE round to a qs-grid around the channel medians."""
+        medians = self.medians().reshape(1, 1, 1, -1)
+        return quantize_ste((z - medians) / qs) * qs + medians
+
+    def __call__(self, z: jax.Array, training: bool = True, qs=None):
+        if qs is None:
+            return super().__call__(z, training)
+        qs = jnp.asarray(qs, z.dtype)
+        b, h, w, c = z.shape
+        zc = jnp.transpose(z.reshape(b * h * w, c))  # [C, L]
+        medians = self.medians()[:, None]
+        if training:
+            key = self.make_rng("noise")
+            noise = jax.random.uniform(key, zc.shape, zc.dtype, -0.5, 0.5) * qs
+            v = zc + noise
+        else:
+            v = jnp.round((zc - medians) / qs) * qs + medians
+        half = qs / 2.0
+        lower = self._logits_cumulative(v[:, None, :] - half, stop_gradient=False)
+        upper = self._logits_cumulative(v[:, None, :] + half, stop_gradient=False)
+        sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
+        lk = jnp.abs(jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))[:, 0, :]
+        lk = lower_bound(lk, jnp.asarray(LIKELIHOOD_BOUND, z.dtype))
+        out = jnp.transpose(v).reshape(b, h, w, c)
+        return out, jnp.transpose(lk).reshape(b, h, w, c)
+
+
 def entropy_bottleneck_tables(eb_params: dict, channels: int,
                               filters: Sequence[int] = (3, 3, 3, 3),
                               tail_mass: float = TAIL_MASS):

@@ -19,6 +19,11 @@ class ModelConfig:
     # VBR machinery (reference mlicpp_vbr.py:83-100 / mlicpp_sd_vbr.py:92-100)
     lmbda: tuple = ()
     gain_init: tuple = ()
+    # Compute dtype for the transforms OUTSIDE the entropy loop (g_a, h_a,
+    # g_s): "bfloat16" halves MXU time without touching bitstream
+    # determinism (entropy-parameter path stays float32).  Param dtype is
+    # always float32, so checkpoints are interchangeable.
+    transform_dtype: str = "float32"
 
     @property
     def slice_ch(self) -> int:

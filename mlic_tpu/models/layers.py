@@ -104,6 +104,8 @@ class GDN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # stable norm regardless of compute dtype
         c = x.shape[-1]
         ped = self._offset ** 2
         beta_bound = (self.beta_min + ped) ** 0.5
@@ -117,9 +119,8 @@ class GDN(nn.Module):
         gamma = lower_bound(gamma_raw, gamma_bound) ** 2 - ped
 
         norm = jnp.einsum("bhwd,dc->bhwc", jnp.square(x), gamma) + beta
-        if self.inverse:
-            return x * jnp.sqrt(norm)
-        return x * jax.lax.rsqrt(norm)
+        out = x * (jnp.sqrt(norm) if self.inverse else jax.lax.rsqrt(norm))
+        return out.astype(in_dtype)
 
 
 class ResidualBlockWithStride(nn.Module):
@@ -129,15 +130,19 @@ class ResidualBlockWithStride(nn.Module):
     features: int
     stride: int = 2
     depthwise: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        out = Conv3x3(self.features, self.stride, self.depthwise, name="conv1")(x)
+        out = Conv3x3(self.features, self.stride, self.depthwise,
+                      dtype=self.dtype, name="conv1")(x)
         out = nn.gelu(out)
-        out = Conv3x3(self.features, 1, self.depthwise, name="conv2")(out)
+        out = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
+                      name="conv2")(out)
         out = GDN(name="gdn")(out)
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = conv1x1(self.features, self.stride, name="skip")(x)
+            x = conv1x1(self.features, self.stride, dtype=self.dtype,
+                        name="skip")(x)
         return out + x
 
 
@@ -147,14 +152,18 @@ class ResidualBlockUpsample(nn.Module):
     features: int
     upsample: int = 2
     depthwise: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        out = SubpelConv3x3(self.features, self.upsample, name="subpel")(x)
+        out = SubpelConv3x3(self.features, self.upsample, dtype=self.dtype,
+                            name="subpel")(x)
         out = nn.gelu(out)
-        out = Conv3x3(self.features, 1, self.depthwise, name="conv")(out)
+        out = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
+                      name="conv")(out)
         out = GDN(inverse=True, name="igdn")(out)
-        skip = SubpelConv3x3(self.features, self.upsample, name="upsample")(x)
+        skip = SubpelConv3x3(self.features, self.upsample, dtype=self.dtype,
+                             name="upsample")(x)
         return out + skip
 
 
@@ -163,15 +172,18 @@ class ResidualBlock(nn.Module):
 
     features: int
     depthwise: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        out = Conv3x3(self.features, 1, self.depthwise, name="conv1")(x)
+        out = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
+                      name="conv1")(x)
         out = nn.gelu(out)
-        out = Conv3x3(self.features, 1, self.depthwise, name="conv2")(out)
+        out = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
+                      name="conv2")(out)
         out = nn.gelu(out)
         if x.shape[-1] != self.features:
-            x = conv1x1(self.features, name="skip")(x)
+            x = conv1x1(self.features, dtype=self.dtype, name="skip")(x)
         return out + x
 
 

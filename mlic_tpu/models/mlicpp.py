@@ -78,10 +78,13 @@ class MLICPlusPlus(nn.Module):
         dec_N = N // 4 if cfg.small_decoder else N
         hyper_M = M // 4 if cfg.small_decoder else M
 
-        self.g_a = AnalysisTransform(N=N, M=M, depthwise=enc_dw)
-        self.h_a = HyperAnalysis(M=M, N=N, depthwise=enc_dw)
+        tdt = None if cfg.transform_dtype == "float32" else jnp.dtype(cfg.transform_dtype)
+        self.g_a = AnalysisTransform(N=N, M=M, depthwise=enc_dw, dtype=tdt)
+        self.h_a = HyperAnalysis(M=M, N=N, depthwise=enc_dw, dtype=tdt)
         self.g_s = SynthesisTransform(N=dec_N, M=M, depthwise=dw,
-                                      old_head=cfg.old_synthesis)
+                                      old_head=cfg.old_synthesis, dtype=tdt)
+        # h_s feeds the entropy parameters: stays float32 for coding
+        # determinism regardless of transform_dtype.
         self.h_s = HyperSynthesis(M=hyper_M, N=N, depthwise=dw)
         self.entropy_bottleneck = EntropyBottleneck(channels=N)
 
@@ -417,8 +420,8 @@ class MLICPlusPlus(nn.Module):
         x_hat = self.g_s(y_hat)
         return x_hat, y_hat
 
-    def codec_device_pass(self, z_symbols, words, lane_begin, cdf_dev,
-                          cdf_lens, cdf_offs, scale, n_lanes: int):
+    def codec_device_pass(self, z_symbols, words, lane_begin, tables,
+                          scale, n_lanes: int):
         """Single-program decompress with ON-DEVICE interleaved rANS.
 
         The reference crosses device->host twice per slice to run its C++
@@ -431,8 +434,8 @@ class MLICPlusPlus(nn.Module):
           z_symbols: int32 [B,h/4,w/4,N].
           words: int32 [W] concatenated 16-bit stream words (all images).
           lane_begin: int32 [B*n_lanes] per-lane word offsets into ``words``.
-          cdf_dev/cdf_lens/cdf_offs: device CDF tables WITH the extra pad row
-            appended (row id = cdf_dev.shape[0]-1).
+          tables: decode-table dict from ``device_rans.device_tables`` built
+            WITH the extra pad row appended (row id = n_rows-1).
           scale: VBR gain (1.0 fixed-rate).
         Returns: (x_hat, y_hat)
         """
@@ -442,9 +445,8 @@ class MLICPlusPlus(nn.Module):
         C = cfg.slice_ch
         scale = jnp.asarray(scale, jnp.float32)
         rescale = 1.0 / scale
-        pad_row = cdf_dev.shape[0] - 1
+        pad_row = tables["offsets"].shape[0] - 1
         b = z_symbols.shape[0]
-        lanes_total = b * n_lanes
 
         medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
         z_hat = z_symbols.astype(jnp.float32) + medians
@@ -465,7 +467,7 @@ class MLICPlusPlus(nn.Module):
             flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=pad_row)
             # position order: step-major, image-major, lane-minor
             ordered = flat.reshape(b, steps, n_lanes).transpose(1, 0, 2).reshape(-1)
-            new_carry, sym = decode(carry, ordered, cdf_dev, cdf_lens, cdf_offs)
+            new_carry, sym = decode(carry, ordered, tables)
             sym = sym.reshape(steps, b, n_lanes).transpose(1, 0, 2).reshape(b, -1)
             sym = sym[:, :n_img].reshape(mu_sq.shape)
             return new_carry, unsqueeze(sym.astype(jnp.float32) * rescale + mu_sq)

@@ -9,6 +9,7 @@ fork's depthwise-separable variant; ``depthwise=False`` reproduces the
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from mlic_tpu.models.layers import (
@@ -21,23 +22,30 @@ from mlic_tpu.models.layers import (
 
 
 class AnalysisTransform(nn.Module):
-    """g_a: image [B,H,W,3] -> latent [B,H/16,W/16,M] (``analysis.py:6-22``)."""
+    """g_a: image [B,H,W,3] -> latent [B,H/16,W/16,M] (``analysis.py:6-22``).
+
+    ``dtype`` selects the compute precision (bf16 on TPU halves MXU time);
+    the output is always cast back to float32 — the latent feeds the
+    float32 quantization/entropy path."""
 
     N: int
     M: int
     depthwise: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        dw = self.depthwise
-        x = ResidualBlockWithStride(self.N, 2, dw, name="rbs0")(x)
-        x = ResidualBlock(self.N, dw, name="rb0")(x)
-        x = ResidualBlockWithStride(self.N, 2, dw, name="rbs1")(x)
-        x = ResidualBlock(self.N, dw, name="rb1")(x)
-        x = ResidualBlockWithStride(self.N, 2, dw, name="rbs2")(x)
-        x = ResidualBlock(self.N, dw, name="rb2")(x)
-        x = Conv3x3(self.M, 2, dw, name="out")(x)
-        return x
+        dw, dt = self.depthwise, self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, name="rbs0")(x)
+        x = ResidualBlock(self.N, dw, dtype=dt, name="rb0")(x)
+        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, name="rbs1")(x)
+        x = ResidualBlock(self.N, dw, dtype=dt, name="rb1")(x)
+        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, name="rbs2")(x)
+        x = ResidualBlock(self.N, dw, dtype=dt, name="rb2")(x)
+        x = Conv3x3(self.M, 2, dw, dtype=dt, name="out")(x)
+        return x.astype(jnp.float32)
 
 
 class HyperAnalysis(nn.Module):
@@ -46,20 +54,23 @@ class HyperAnalysis(nn.Module):
     M: int
     N: int
     depthwise: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        dw = self.depthwise
-        x = Conv3x3(self.N, 1, dw, name="c0")(x)
+        dw, dt = self.depthwise, self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        x = Conv3x3(self.N, 1, dw, dtype=dt, name="c0")(x)
         x = nn.gelu(x)
-        x = Conv3x3(self.N, 1, dw, name="c1")(x)
+        x = Conv3x3(self.N, 1, dw, dtype=dt, name="c1")(x)
         x = nn.gelu(x)
-        x = Conv3x3(self.N, 2, dw, name="c2")(x)
+        x = Conv3x3(self.N, 2, dw, dtype=dt, name="c2")(x)
         x = nn.gelu(x)
-        x = Conv3x3(self.N, 1, dw, name="c3")(x)
+        x = Conv3x3(self.N, 1, dw, dtype=dt, name="c3")(x)
         x = nn.gelu(x)
-        x = Conv3x3(self.N, 2, dw, name="c4")(x)
-        return x
+        x = Conv3x3(self.N, 2, dw, dtype=dt, name="c4")(x)
+        return x.astype(jnp.float32)
 
 
 class HyperSynthesis(nn.Module):
@@ -89,24 +100,28 @@ class SynthesisTransform(nn.Module):
 
     ``old_head=True`` reproduces ``SynthesisTransformOld`` (first block maps
     M->N instead of M->M; needed for pre-Sept-2023 reference weights,
-    ``synthesis.py:36-53``).
+    ``synthesis.py:36-53``).  ``dtype`` as in AnalysisTransform; g_s sits
+    after the entropy loop so bf16 never affects bitstream determinism.
     """
 
     N: int
     M: int
     depthwise: bool = True
     old_head: bool = False
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        dw = self.depthwise
+        dw, dt = self.depthwise, self.dtype
+        if dt is not None:
+            x = x.astype(dt)
         head = self.N if self.old_head else self.M
-        x = ResidualBlock(head, dw, name="rb0")(x)
-        x = ResidualBlockUpsample(self.N, 2, dw, name="up0")(x)
-        x = ResidualBlock(self.N, dw, name="rb1")(x)
-        x = ResidualBlockUpsample(self.N, 2, dw, name="up1")(x)
-        x = ResidualBlock(self.N, dw, name="rb2")(x)
-        x = ResidualBlockUpsample(self.N, 2, dw, name="up2")(x)
-        x = ResidualBlock(self.N, dw, name="rb3")(x)
-        x = SubpelConv3x3(3, 2, name="out")(x)
-        return x
+        x = ResidualBlock(head, dw, dtype=dt, name="rb0")(x)
+        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, name="up0")(x)
+        x = ResidualBlock(self.N, dw, dtype=dt, name="rb1")(x)
+        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, name="up1")(x)
+        x = ResidualBlock(self.N, dw, dtype=dt, name="rb2")(x)
+        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, name="up2")(x)
+        x = ResidualBlock(self.N, dw, dtype=dt, name="rb3")(x)
+        x = SubpelConv3x3(3, 2, dtype=dt, name="out")(x)
+        return x.astype(jnp.float32)

@@ -52,13 +52,13 @@ def test_device_decode_matches_host():
     words_np, begin_np = coder.parse_interleaved(stream)
 
     words = jnp.asarray(words_np.astype(np.int32))
-    cdf_dev, lens_dev, offs_dev = dr.device_tables(cdfs, lens, offs)
+    tables = dr.device_tables(cdfs, lens, offs)
     init, decode = dr.make_decoder(words)
 
     @jax.jit
     def run(begin, indexes):
         carry = init(begin)
-        _, out = decode(carry, indexes, cdf_dev, lens_dev, offs_dev)
+        _, out = decode(carry, indexes, tables)
         return out
 
     out = np.asarray(run(jnp.asarray(begin_np, jnp.int32), jnp.asarray(idx)))
@@ -78,7 +78,7 @@ def test_device_decode_streaming_blocks():
     stream = coder.encode_interleaved(sym, idx, n_lanes, cdfs, lens, offs)
     words_np, begin_np = coder.parse_interleaved(stream)
     words = jnp.asarray(words_np.astype(np.int32))
-    cdf_dev, lens_dev, offs_dev = dr.device_tables(cdfs, lens, offs)
+    tables = dr.device_tables(cdfs, lens, offs)
     init, decode = dr.make_decoder(words)
 
     @jax.jit
@@ -87,7 +87,7 @@ def test_device_decode_streaming_blocks():
         outs = []
         for k in range(4):
             carry, o = decode(carry, indexes[k * block:(k + 1) * block],
-                              cdf_dev, lens_dev, offs_dev)
+                              tables)
             outs.append(o)
         return jnp.concatenate(outs)
 
@@ -109,14 +109,14 @@ def test_gaussian_scale_tables_device_decode():
                                       tables.cdf_length, tables.offset)
     words_np, begin_np = coder.parse_interleaved(stream)
     words = jnp.asarray(words_np.astype(np.int32))
-    cdf_dev, lens_dev, offs_dev = dr.device_tables(
+    dev_tables = dr.device_tables(
         tables.quantized_cdf, tables.cdf_length, tables.offset)
     init, decode = dr.make_decoder(words)
 
     @jax.jit
     def run(begin, indexes):
         carry = init(begin)
-        _, out = decode(carry, indexes, cdf_dev, lens_dev, offs_dev)
+        _, out = decode(carry, indexes, dev_tables)
         return out
 
     out = np.asarray(run(jnp.asarray(begin_np, jnp.int32), jnp.asarray(idx)))
