@@ -38,7 +38,7 @@ def main():
     n_batches = int(os.environ.get("BENCH_IMAGES", "3"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     backend = os.environ.get("BENCH_BACKEND", "steps")
-    n_lanes = int(os.environ.get("BENCH_LANES", "256"))
+    n_lanes = int(os.environ.get("BENCH_LANES", "512"))
     h, w = 512, 768  # Kodak portrait/landscape canonical size
 
     model = get_model(model_name)

@@ -28,6 +28,7 @@ from mlic_tpu.ops.math import (
     ckbd_anchor,
     ckbd_nonanchor,
     ckbd_split,
+    lower_bound,
     quantize_ste,
 )
 
@@ -63,13 +64,16 @@ class MLICPlusPlusVbr(MLICPlusPlus):
         return scale
 
     def __call__(self, x, training: bool = True, stage: int = 2, s=1,
-                 inputscale=None):
+                 inputscale=None, quant_offset: bool = False):
         if stage == 1:
             return super().__call__(x, training)
         cfg = self.cfg
         C = cfg.slice_ch
         scale = self._scale(s, inputscale)
         rescale = 1.0 / scale
+        # touch QuantABCD so its params exist regardless of the branch taken
+        # at init time (linen materializes params lazily on first call)
+        _ = self.quant_offset(jnp.ones((1,)), scale)
 
         y = self.g_a(x)
         z = self.h_a(y)
@@ -78,8 +82,31 @@ class MLICPlusPlusVbr(MLICPlusPlus):
         hyper_params = self.h_s(z_hat)
         _, hyper_means = self._chunk2(hyper_params)
 
-        def vbr_round(v, means):
-            return quantize_ste((v - means) * scale) * rescale + means
+        if quant_offset:
+            # QuantABCD dead-zone reconstruction (reference
+            # ``mlicpp_vbr.py:337-520`` with ``no_quantoffset=False``).  The
+            # reference's own branch contains non-functional tensor syntax
+            # (e.g. ``q_offsets[-1e-4 < q_abs < 1e-4] = 0``,
+            # ``utils/ckbd.py:112``); we implement the published intent:
+            # x_hat = sign * (|round((v-mu)*scale)| + offset) / scale + mu,
+            # offset = -QuantABCD(bounded sigma*scale, scale), zeroed where
+            # the quantized magnitude is zero.
+            def make_round(scales):
+                q_stdev = lower_bound(scales * scale, 0.11)
+                offs = -self.quant_offset(q_stdev, scale)
+
+                def vbr_round(v, means):
+                    zm = (v - means) * scale
+                    q = quantize_ste(zm)
+                    q_abs = jnp.abs(q)
+                    off = jnp.where(q_abs < 1e-4, 0.0, offs)
+                    return jnp.sign(zm) * (q_abs + off) * rescale + means
+                return vbr_round
+        else:
+            def make_round(scales):
+                def vbr_round(v, means):
+                    return quantize_ste((v - means) * scale) * rescale + means
+                return vbr_round
 
         y_hat_slices = []
         y_lks = []
@@ -91,7 +118,7 @@ class MLICPlusPlusVbr(MLICPlusPlus):
             params_anchor = self._anchor_params(idx, hyper_params, inter_ctx, channel_ctx)
             scales_a, means_a = self._chunk2(params_anchor)
             scales_a, means_a = ckbd_anchor(scales_a), ckbd_anchor(means_a)
-            slice_anchor = vbr_round(slice_anchor, means_a)
+            slice_anchor = make_round(scales_a)(slice_anchor, means_a)
             lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
             slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
 
@@ -108,7 +135,7 @@ class MLICPlusPlusVbr(MLICPlusPlus):
             y_lks.append(gaussian_likelihood(y_slice * scale, scales_slice * scale,
                                              means_slice * scale))
 
-            slice_nonanchor = vbr_round(slice_nonanchor, means_na)
+            slice_nonanchor = make_round(scales_na)(slice_nonanchor, means_na)
             y_hat_slice = slice_anchor + slice_nonanchor
             lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices, y_hat_slice)
             y_hat_slice = y_hat_slice + ckbd_nonanchor(lrp_na)

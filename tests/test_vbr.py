@@ -47,6 +47,34 @@ def test_stage1_matches_base_forward_structure(vbr):
     assert out["x_hat"].shape == x.shape
 
 
+def test_quant_offset_forward(vbr):
+    """QuantABCD dead-zone path runs and produces finite, different output
+    from the plain-STE path."""
+    model, params, x = vbr
+    f = jax.jit(lambda p, v, qo: model.apply({"params": p}, v, False, 2, 1, None, qo),
+                static_argnums=2)
+    out_plain = f(params, x, False)
+    out_qo = f(params, x, True)
+    assert np.isfinite(np.asarray(out_qo["x_hat"])).all()
+    # offsets shift reconstructions away from the plain grid
+    assert not np.allclose(np.asarray(out_qo["x_hat"]),
+                           np.asarray(out_plain["x_hat"]))
+
+
+def test_eb_vbr_variable_step():
+    from mlic_tpu.entropy.models import EntropyBottleneckVbr
+    module = EntropyBottleneckVbr(channels=8)
+    z = jax.random.normal(jax.random.key(0), (1, 4, 4, 8)) * 5
+    params = jax.jit(lambda r, v: module.init(r, v, True))(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)}, z)["params"]
+    out = {}
+    for qs in (0.5, 1.0, 2.0):
+        _, lk = module.apply({"params": params}, z, False, qs)
+        out[qs] = float(jnp.sum(jnp.log2(lk)))
+    # coarser steps -> fewer bits
+    assert out[2.0] > out[1.0] > out[0.5]
+
+
 def test_frank_wolfe_minnorm():
     # Two opposing gradients: min-norm combo is the (near-)zero point.
     g = jnp.asarray([[1.0, 0.0], [-1.0, 0.0]])

@@ -20,6 +20,7 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     p.add_argument("--save-dir", default="./runs/eval")
     p.add_argument("--level", type=int, default=None, help="VBR gain level")
+    p.add_argument("--backend", default="steps", choices=["steps", "fused", "device"])
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -50,7 +51,7 @@ def main(argv=None):
                                {"params": params})
         params = restored["params"] if "params" in restored else restored
 
-    codec = Codec(model, params)
+    codec = Codec(model, params, backend=args.backend)
     codec.update()
 
     def image_iter():
