@@ -96,6 +96,23 @@ def compress_bpp_constrained(codec: Codec, x: np.ndarray, path: str,
     return out
 
 
+def evaluate_codec_vbr(codec: Codec, images, save_dir: str,
+                       levels: Optional[Iterable[int]] = None, log=print) -> dict:
+    """Per-gain-level codec evaluation (reference ``test_one_epoch_vbr`` /
+    ``test_model_vbr``, ``utils/testing.py:12-105,427-571``)."""
+    images = list(images)
+    if levels is None:
+        levels = range(len(codec.model.cfg.lmbda))
+    results = {}
+    for s in levels:
+        results[int(s)] = evaluate_codec(
+            codec, images, os.path.join(save_dir, f"level_{s}"), s=int(s), log=log)
+        log(f"level {s}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in results[int(s)].items()
+            if isinstance(v, float)))
+    return results
+
+
 def evaluate_codec(codec: Codec, images: Iterable[np.ndarray], save_dir: str,
                    s: Optional[int] = None, log=print) -> dict:
     """Round-trip every image through a real file; average metrics."""

@@ -46,6 +46,16 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def process_allgather(local_values: Any) -> Any:
+    """Gather per-process results to every host (replaces the reference's
+    ``dist.gather_object`` statistics collection,
+    ``compression_trainer.py:854-878``).  No-op on a single process."""
+    if jax.process_count() == 1:
+        return local_values
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(local_values)
+
+
 def local_batch_slice(global_batch: int) -> slice:
     """This process's slice of a global batch (multi-host input pipeline)."""
     per = global_batch // jax.process_count()

@@ -117,6 +117,23 @@ def test_device_backend_roundtrip(tiny):
     np.testing.assert_array_equal(np.asarray(dec["x_hat"]), np.asarray(enc["x_hat"]))
 
 
+def test_rate_estimate_matches_file(tiny):
+    """The likelihood-estimated rate (eval forward) must track the actual
+    coded file size: same CDF tables feed both, so a big gap means broken
+    table construction.  Allows coder overhead (lane flush + per-symbol
+    quantization loss) of ~10% + fixed bytes."""
+    model, params, x = tiny
+    codec = Codec(model, params, backend="steps")
+    codec.update()
+    out = jax.jit(lambda p, v: model.apply({"params": p}, v, False))(params, x)
+    from mlic_tpu.loss import rate_distortion_loss
+    est_bpp = float(rate_distortion_loss(out, x, 0.013)["bpp_loss"])
+    enc = codec.compress(x)
+    real_bpp = 8 * sum(len(s) for g in enc["strings"] for s in g) / (64 * 64)
+    assert real_bpp < est_bpp * 1.10 + 0.05, (est_bpp, real_bpp)
+    assert real_bpp > est_bpp * 0.90 - 0.05, (est_bpp, real_bpp)
+
+
 def test_net_decoder_forward(tiny):
     model, params, x = tiny
     out = jax.jit(lambda p, v: model.apply({"params": p}, v,
