@@ -5,3 +5,5 @@ from mlic_tpu.entropy.rans.coder import (  # noqa: F401
     decode_with_indexes,
     rans_backend,
 )
+
+__all__ = ["BufferedRansEncoder", "RansDecoder", "encode_with_indexes", "decode_with_indexes", "rans_backend"]

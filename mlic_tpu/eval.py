@@ -12,7 +12,6 @@ Equivalent of the reference's ``utils/testing.py``:
 from __future__ import annotations
 
 import os
-import time
 from typing import Iterable, Optional
 
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ pytorch-msssim implements, so values are comparable.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -25,7 +25,7 @@ checkerboard attention mask is derived from iota inside the traced program
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,8 @@ TPU restructuring of the reference's training loop
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Any, Callable, Iterable, Optional
+from typing import Any, Callable, Iterable
 
 import jax
 import jax.numpy as jnp

@@ -14,17 +14,14 @@ all-reduce falls out of jit partitioning over the data mesh.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 
 from mlic_tpu.loss import rate_distortion_loss
 from mlic_tpu.models.vbr import MLICPlusPlusVbr
-from mlic_tpu.train.optimizers import make_optimizer
 from mlic_tpu.train.trainer import TrainConfig, TrainState
 
 
