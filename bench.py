@@ -37,7 +37,7 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "MLICPP_S")
     n_batches = int(os.environ.get("BENCH_IMAGES", "3"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
-    backend = os.environ.get("BENCH_BACKEND", "steps")
+    backend = os.environ.get("BENCH_BACKEND", "device")
     n_lanes = int(os.environ.get("BENCH_LANES", "512"))
     h, w = 512, 768  # Kodak portrait/landscape canonical size
 

@@ -9,8 +9,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 import convert_reference_checkpoint as crc  # noqa: E402
 
 
-def test_converter_roundtrip_covers_all_leaves():
-    checked, total = crc.self_test()
+import pytest
+from mlic_tpu.models.config import ModelConfig, model_config
+
+
+@pytest.mark.parametrize("cfg", [
+    model_config("MLICPP_TINY"),
+    ModelConfig("T_DENSE", N=32, M=64, slice_num=2, depthwise=False),
+    ModelConfig("T_SD", N=32, M=64, slice_num=2, small_decoder=True),
+    ModelConfig("T_VBR", N=32, M=64, slice_num=2, vbr=True,
+                lmbda=(0.0018, 0.0483), gain_init=(0.15, 1.0)),
+], ids=["depthwise", "dense", "small_dec", "vbr"])
+def test_converter_roundtrip_covers_all_leaves(cfg):
+    checked, total = crc.self_test(cfg)
     assert checked == total, f"converter covers {checked}/{total} leaves"
 
 

@@ -283,18 +283,24 @@ def invert(params: dict, cfg) -> dict:
     return out
 
 
-def self_test():
+def self_test(cfg=None):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from mlic_tpu.models.config import model_config
     from mlic_tpu.models.mlicpp import MLICPlusPlus
 
-    cfg = model_config("MLICPP_TINY")
-    model = MLICPlusPlus(cfg=cfg)
-    ref = jax.jit(lambda r, v: model.init(r, v, True))(
-        {"params": jax.random.key(0), "noise": jax.random.key(1)},
-        jnp.zeros((1, 64, 64, 3)))["params"]
+    if cfg is None:
+        cfg = model_config("MLICPP_TINY")
+    if cfg.vbr:
+        from mlic_tpu.models.vbr import MLICPlusPlusVbr
+        model = MLICPlusPlusVbr(cfg=cfg)
+        init = jax.jit(lambda r, v: model.init(r, v, True, 2, 1))
+    else:
+        model = MLICPlusPlus(cfg=cfg)
+        init = jax.jit(lambda r, v: model.init(r, v, True))
+    ref = init({"params": jax.random.key(0), "noise": jax.random.key(1)},
+               jnp.zeros((1, 64, 64, 3)))["params"]
     ref = jax.tree.map(np.asarray, jax.device_get(ref))
 
     fake_torch = invert(ref, cfg)
