@@ -10,7 +10,8 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
-from functools import lru_cache, wraps
+from collections import OrderedDict
+from functools import wraps
 from pathlib import Path
 
 
@@ -19,29 +20,36 @@ class SimpleCache:
         self.cache_dir = Path(cache_dir)
         self.memory_cache_size = memory_cache_size
         self.cache_dir.mkdir(parents=True, exist_ok=True)
-        self._memoized = []
+        self._memory: OrderedDict[str, object] = OrderedDict()
 
     def _key(self, name: str, args, kwargs) -> str:
         payload = repr((name, args, tuple(sorted(kwargs.items()))))
         return hashlib.sha1(payload.encode()).hexdigest()[:24]
 
-    def cached(self, func):
-        mem_func = lru_cache(maxsize=self.memory_cache_size)(func)
-        self._memoized.append(mem_func)
+    def _remember(self, key: str, value):
+        self._memory[key] = value
+        self._memory.move_to_end(key)
+        while len(self._memory) > self.memory_cache_size:
+            self._memory.popitem(last=False)
 
+    def cached(self, func):
         @wraps(func)
         def wrapper(*args, **kwargs):
-            path = self.cache_dir / f"{func.__name__}_{self._key(func.__name__, args, kwargs)}.pkl"
+            key = f"{func.__name__}_{self._key(func.__name__, args, kwargs)}"
+            if key in self._memory:
+                self._memory.move_to_end(key)
+                return self._memory[key]
+            path = self.cache_dir / f"{key}.pkl"
             if path.exists():
                 try:
                     with open(path, "rb") as f:
-                        return pickle.load(f)
+                        result = pickle.load(f)
+                    self._remember(key, result)
+                    return result
                 except (pickle.PickleError, EOFError, TypeError):
                     pass
-            try:
-                result = mem_func(*args, **kwargs)
-            except TypeError:  # unhashable args: skip the memory layer
-                result = func(*args, **kwargs)
+            result = func(*args, **kwargs)
+            self._remember(key, result)
             with open(path, "wb") as f:
                 pickle.dump(result, f)
             return result
@@ -49,8 +57,7 @@ class SimpleCache:
         return wrapper
 
     def clear_cache(self, memory_only: bool = False):
-        for f in self._memoized:
-            f.cache_clear()
+        self._memory.clear()
         if not memory_only:
             for p in self.cache_dir.glob("*.pkl"):
                 os.remove(p)

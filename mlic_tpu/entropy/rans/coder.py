@@ -100,7 +100,9 @@ _LUT_CACHE: dict[tuple, np.ndarray] = {}
 
 
 def _slot_lut(cdfs: np.ndarray, cdf_lengths: np.ndarray) -> np.ndarray:
-    key = (cdfs.__array_interface__["data"][0], cdfs.shape[0], cdfs.shape[1])
+    import hashlib
+    key = (hashlib.sha1(cdfs.tobytes()).hexdigest(),
+           hashlib.sha1(np.ascontiguousarray(cdf_lengths).tobytes()).hexdigest())
     lut = _LUT_CACHE.get(key)
     if lut is None:
         n = cdfs.shape[0]
@@ -341,6 +343,9 @@ class BufferedRansEncoder:
     def __init__(self):
         self._symbols: list[np.ndarray] = []
         self._indexes: list[np.ndarray] = []
+        self._cdfs = None
+        self._cdf_lengths = None
+        self._offsets = None
 
     def encode_with_indexes(self, symbols, indexes, cdfs=None, cdf_lengths=None, offsets=None):
         # cdf args accepted for API parity; tables are supplied at flush().
@@ -352,6 +357,9 @@ class BufferedRansEncoder:
     def flush(self, cdfs=None, cdf_lengths=None, offsets=None) -> bytes:
         if cdfs is None:
             cdfs, cdf_lengths, offsets = self._cdfs, self._cdf_lengths, self._offsets
+        if cdfs is None:
+            raise ValueError("CDF tables required: pass them to flush() or to "
+                             "encode_with_indexes()")
         symbols = np.concatenate(self._symbols) if self._symbols else np.empty(0, np.int32)
         indexes = np.concatenate(self._indexes) if self._indexes else np.empty(0, np.int32)
         self._symbols, self._indexes = [], []

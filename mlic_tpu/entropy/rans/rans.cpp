@@ -305,8 +305,10 @@ int64_t mlic_rans16_encode_interleaved(
   for (int32_t lane = 0; lane < n_lanes; ++lane) {
     Encoder16 enc;
     // This lane's symbols are positions lane, lane+L, ...; encode in reverse.
-    int64_t last = lane + ((n - 1 - lane) / n_lanes) * n_lanes;
-    for (int64_t p = last; p >= lane; p -= n_lanes) {
+    // Lanes with no symbols (lane >= n) still flush an initial state.
+    int64_t last = lane < n ? lane + ((n - 1 - lane) / n_lanes) * n_lanes
+                            : int64_t{-1};
+    for (int64_t p = last; p >= lane && p >= 0; p -= n_lanes) {
       const int32_t i = indexes[p];
       const int32_t* cdf = cdfs + static_cast<int64_t>(i) * cdf_stride;
       const int32_t max_value = cdf_lengths[i] - 2;

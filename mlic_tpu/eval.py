@@ -38,12 +38,21 @@ def crop_to(x, hw):
 
 def compress_one_image(codec: Codec, x: np.ndarray, path: str,
                        s: Optional[int] = None, inputscale: float = 0.0) -> dict:
-    """Pad, compress, write container file; returns bpp + timings."""
+    """Pad, compress, write container file; returns bpp + timings.
+
+    Per-image API (B must be 1).  For VBR the header carries the level AND
+    the continuous ``inputscale`` (float32 bits) so the decoder reproduces
+    the exact encoding gain.
+    """
     padded, (h, w) = pad_to_multiple(np.asarray(x))
+    if padded.shape[0] != 1:
+        raise ValueError("compress_one_image is per-image (B=1); "
+                         "loop over the batch for batched coding")
     out = codec.compress(jnp.asarray(padded), s=s or 0, inputscale=inputscale)
     with open(path, "wb") as f:
         if s is not None:
-            bitstream.write_uints(f, (h, w, s))
+            scale_bits = int(np.float32(inputscale).view(np.uint32))
+            bitstream.write_uints(f, (h, w, s, scale_bits))
         else:
             bitstream.write_uints(f, (h, w))
         bitstream.write_body(f, out["shape"], out["strings"])
@@ -55,12 +64,13 @@ def compress_one_image(codec: Codec, x: np.ndarray, path: str,
 def decompress_one_image(codec: Codec, path: str, vbr: bool = False) -> dict:
     with open(path, "rb") as f:
         if vbr:
-            h, w, s = bitstream.read_uints(f, 3)
+            h, w, s, scale_bits = bitstream.read_uints(f, 4)
+            inputscale = float(np.uint32(scale_bits).view(np.float32))
         else:
             h, w = bitstream.read_uints(f, 2)
-            s = 0
+            s, inputscale = 0, 0.0
         strings, shape = bitstream.read_body(f)
-    out = codec.decompress(strings, shape, s=s)
+    out = codec.decompress(strings, shape, s=s, inputscale=inputscale)
     return {"x_hat": crop_to(np.asarray(out["x_hat"]), (h, w)),
             "dec_time": out["cost_time"]}
 

@@ -58,12 +58,17 @@ def create_train_state(model: MLICPlusPlus, cfg: TrainConfig,
     x = jnp.zeros(input_shape, jnp.float32)
     params = jax.jit(lambda r, x: model.init(r, x, True))(
         {"params": p_rng, "noise": n_rng}, x)["params"]
-    lr = (multistep_lr(cfg.learning_rate, cfg.lr_milestones)
-          if cfg.lr_milestones else cfg.learning_rate)
     if cfg.warmup_steps:
         warm = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
-        after = lr if callable(lr) else (lambda step: cfg.learning_rate)
+        # join_schedules feeds (step - boundary) to the second schedule, so
+        # absolute milestone indices must be shifted by the warmup length.
+        after = (multistep_lr(cfg.learning_rate,
+                              [m - cfg.warmup_steps for m in cfg.lr_milestones])
+                 if cfg.lr_milestones else (lambda step: cfg.learning_rate))
         lr = optax.join_schedules([warm, after], [cfg.warmup_steps])
+    else:
+        lr = (multistep_lr(cfg.learning_rate, cfg.lr_milestones)
+              if cfg.lr_milestones else cfg.learning_rate)
     tx = make_optimizer(lr, cfg.aux_learning_rate, cfg.clip_max_norm, cfg.optimizer)
     opt_state = jax.jit(tx.init)(params)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -194,6 +199,7 @@ class Trainer:
 
     def fit_epoch(self, batches: Iterable[np.ndarray], log_freq: int = 20) -> dict:
         last = {}
+        metrics = None
         t0 = time.perf_counter()
         for i, batch in enumerate(batches):
             sharded = pmesh.shard_batch(jnp.asarray(batch, jnp.float32), self.mesh)
@@ -205,6 +211,8 @@ class Trainer:
                 self.log(f"step {step} | {dt*1e3:.0f} ms/it | " +
                          " ".join(f"{k}={v:.4f}" for k, v in sorted(last.items())))
                 t0 = time.perf_counter()
+        if metrics is None:
+            raise ValueError("fit_epoch received an empty batch iterable")
         if not last:
             last = {k: float(v) for k, v in metrics.items()}
         return last

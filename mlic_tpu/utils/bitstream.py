@@ -36,9 +36,22 @@ def read_bytes(f: BinaryIO, n: int) -> bytes:
 
 
 def write_body(f: BinaryIO, shape: tuple[int, int], strings: list[list[bytes]]) -> int:
-    """Write (shape, streams). Returns bytes written."""
+    """Write (shape, streams). Returns bytes written.
+
+    The container is per-image (one y and one z stream); a batched
+    ``compress()`` result (several streams per group) must be written one
+    image at a time — refusing here beats silently dropping images.
+    """
     total = 0
-    flat = [s[0] if isinstance(s, (list, tuple)) else s for s in strings]
+    flat = []
+    for s in strings:
+        if isinstance(s, (list, tuple)):
+            if len(s) != 1:
+                raise ValueError(
+                    f"write_body is per-image; got a group of {len(s)} streams "
+                    "(write each image of a batched compress() separately)")
+            s = s[0]
+        flat.append(s)
     write_uints(f, (shape[0], shape[1], len(flat)))
     total += 12
     for s in flat:
