@@ -93,29 +93,45 @@ class Codec:
         self._dev_tables = None
         cls = type(model)
 
+        # Variable-rate hyper-latent (VBR + vr_entbttlnck): the z step is a
+        # data-dependent scalar, downloaded once per (s, inputscale) level
+        # and cached; EB tables are then built per distinct step.
+        self._vr = bool(getattr(model.cfg, "vr_entbttlnck", False))
+        self._zqs_cache: dict[tuple, float] = {}
+        self._eb_cache: dict[float, tuple] = {}
+
         self._analyze = jax.jit(
-            lambda p, x: model.apply({"params": p}, x, method=cls.analyze))
+            lambda p, x, zqs: model.apply({"params": p}, x, zqs,
+                                          method=cls.analyze))
         self._gain_scale = jax.jit(
             lambda p, s, isc: model.apply({"params": p}, s, isc,
                                           method=cls.gain_scale))
+        self._z_step = jax.jit(
+            lambda p, s, isc: model.apply({"params": p}, s, isc,
+                                          method=cls.z_step))
         if backend == "device":
             self._device_pass = jax.jit(
-                lambda p, zs, w, lb, tables, sc: model.apply(
-                    {"params": p}, zs, w, lb, tables, sc, n_lanes,
-                    method=cls.codec_device_pass))
+                lambda p, zs, w, lb, tables, sc, ns, zqs: model.apply(
+                    {"params": p}, zs, w, lb, tables, sc, n_lanes, ns, zqs,
+                    method=cls.codec_device_pass),
+                static_argnums=(6,))
+            self._dev_n_steps = 12
+            self.parametric = False  # set by update()
             self._encode_pass = jax.jit(
-                lambda p, y, zs, sc: model.apply(
-                    {"params": p}, y, zs, sc, method=cls.codec_encode_pass))
+                lambda p, y, zs, sc, zqs: model.apply(
+                    {"params": p}, y, zs, sc, zqs,
+                    method=cls.codec_encode_pass))
         if backend == "fused":
             self._fused = jax.jit(
-                lambda p, y, zs, sc: model.apply(
-                    {"params": p}, y, zs, self._x.exchange, sc,
+                lambda p, y, zs, sc, zqs: model.apply(
+                    {"params": p}, y, zs, self._x.exchange, sc, zqs,
                     method=cls.codec_pass))
         else:
             S = model.cfg.slice_num
             self._begin = jax.jit(
-                lambda p, y, zs, sc: model.apply({"params": p}, y, zs, sc,
-                                                 method=cls.codec_begin))
+                lambda p, y, zs, sc, zqs: model.apply({"params": p}, y, zs,
+                                                      sc, zqs,
+                                                      method=cls.codec_begin))
             self._step_a = [
                 jax.jit(lambda p, y, st, sym, _i=i: model.apply(
                     {"params": p}, y, st, sym, _i,
@@ -139,26 +155,81 @@ class Codec:
             scale_table if scale_table is not None else get_scale_table())
         self._eb = entropy_bottleneck_tables(
             self.params["entropy_bottleneck"], self.model.cfg.N)
+        self._eb_cache = {}
+        self._zqs_cache = {}
         self._x.gc_cdfs = self._gc.quantized_cdf
         self._x.gc_lengths = self._gc.cdf_length
         self._x.gc_offsets = self._gc.offset
         if self.backend == "device":
-            # Append the pad row: slot 0 carries ~all mass (pad symbols cost
-            # ~2e-5 bits each), slot 1 is the escape.
-            n, t = self._gc.quantized_cdf.shape
-            cdfs = np.zeros((n + 1, t), np.int32)
-            cdfs[:n] = self._gc.quantized_cdf
-            cdfs[n, :3] = [0, (1 << 16) - 1, 1 << 16]
-            lengths = np.concatenate([self._gc.cdf_length, [3]]).astype(np.int32)
-            offsets = np.concatenate([self._gc.offset, [0]]).astype(np.int32)
-            self._gc_ext = (cdfs, lengths, offsets)
-            from mlic_tpu.entropy.device_rans import device_tables
-            self._dev_tables = device_tables(cdfs, lengths, offsets)
+            self._update_device_tables(
+                scale_table if scale_table is not None else get_scale_table())
         return True
+
+    def _update_device_tables(self, scale_table):
+        """Decode tables for the device backend.
+
+        Primary path (round 2): the gather-free PARAMETRIC tables — the
+        integer CDFs are generated on device from the analytic quantized-
+        Gaussian formula and the decode scan re-evaluates the same formula
+        (``entropy/parametric.py``).  Enabled only if the generated table is
+        rANS-valid and the decode-shaped self-check reproduces it bit-
+        exactly; otherwise fall back to the O(1) LUT tables of round 1.
+        The pad row (slot 0 carries ~all mass; pad symbols cost ~2e-5 bits
+        each) is row ``n_rows-1`` in both layouts.
+        """
+        from mlic_tpu.entropy import parametric
+        from mlic_tpu.entropy.device_rans import (
+            device_tables,
+            parametric_device_tables,
+        )
+
+        params, lengths, offsets = parametric.gaussian_row_params(scale_table)
+        table = parametric.generate_tables(params, lengths)
+        if (parametric.validate_tables(table, lengths)
+                and parametric.self_check(params, table, lengths)):
+            self._gc_ext = (table, lengths, offsets)
+            self._dev_tables = parametric_device_tables(params, lengths, offsets)
+            self._dev_n_steps = parametric.bisect_steps(lengths)
+            self.parametric = True
+            return
+        # Fallback: host-built largest-remainder tables + cf LUTs.
+        self.parametric = False
+        n, t = self._gc.quantized_cdf.shape
+        cdfs = np.zeros((n + 1, t), np.int32)
+        cdfs[:n] = self._gc.quantized_cdf
+        cdfs[n, :3] = [0, (1 << 16) - 1, 1 << 16]
+        lengths = np.concatenate([self._gc.cdf_length, [3]]).astype(np.int32)
+        offsets = np.concatenate([self._gc.offset, [0]]).astype(np.int32)
+        self._gc_ext = (cdfs, lengths, offsets)
+        self._dev_tables = device_tables(cdfs, lengths, offsets)
 
     def _require_tables(self):
         if self._gc is None or self._eb is None:
             self.update()
+
+    def _z_qs_for(self, s: int, inputscale: float) -> float:
+        """Host value of the z quantization step for a rate level (1.0 for
+        fixed-rate bottlenecks); one tiny download per distinct level."""
+        if not self._vr:
+            return 1.0
+        key = (int(s), float(inputscale))
+        if key not in self._zqs_cache:
+            self._zqs_cache[key] = float(np.asarray(self._z_step(
+                self.params, jnp.asarray(s, jnp.int32),
+                jnp.asarray(inputscale, jnp.float32))))
+        return self._zqs_cache[key]
+
+    def _eb_for(self, z_qs: float):
+        """EB tables for a given quantization step (reference
+        ``EntropyBottleneckVbr.update_variable``, ``mlicpp_vbr.py:1168-1183``)."""
+        if z_qs == 1.0 and self._eb is not None:
+            return self._eb
+        tabs = self._eb_cache.get(z_qs)
+        if tabs is None:
+            tabs = entropy_bottleneck_tables(
+                self.params["entropy_bottleneck"], self.model.cfg.N, qs=z_qs)
+            self._eb_cache[z_qs] = tabs
+        return tabs
 
     # ------------------------------------------------------------------
     def _flush_interleaved(self, batch: int) -> list[bytes]:
@@ -185,11 +256,12 @@ class Codec:
                 cdfs, lengths, offsets))
         return streams
 
-    def _run_codec(self, y, z_symbols, scale):
+    def _run_codec(self, y, z_symbols, scale, z_qs=1.0):
         """Run the shared codec program under the current exchange mode."""
         if self.backend == "fused":
-            return self._fused(self.params, y, z_symbols, scale)
-        state, indexes, cand = self._begin(self.params, y, z_symbols, scale)
+            return self._fused(self.params, y, z_symbols, scale, z_qs)
+        state, indexes, cand = self._begin(self.params, y, z_symbols, scale,
+                                           z_qs)
         for idx in range(self.model.cfg.slice_num):
             sym = self._x.exchange(f"a{idx}", indexes, cand)
             state, indexes, cand = self._step_a[idx](
@@ -217,14 +289,15 @@ class Codec:
         t0 = time.perf_counter()
         scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
                                  jnp.asarray(inputscale, jnp.float32))
+        z_qs = self._z_qs_for(s, inputscale)
         x = jnp.asarray(x)
         if x.dtype != jnp.uint8:
             x = x.astype(jnp.float32)
-        y, z_symbols = self._analyze(self.params, x)
+        y, z_symbols = self._analyze(self.params, x, z_qs)
 
         # z: factorized-prior coding, per-channel CDF rows, per image.
         z_np = np.asarray(z_symbols)
-        eb_cdfs, eb_lengths, eb_offsets, _ = self._eb
+        eb_cdfs, eb_lengths, eb_offsets, _ = self._eb_for(z_qs)
         z_idx = np.broadcast_to(np.arange(z_np.shape[-1], dtype=np.int32),
                                 z_np.shape[1:])
         z_strings = [encode_with_indexes(z_np[b].ravel(), z_idx.ravel(),
@@ -234,7 +307,7 @@ class Codec:
         if self.backend == "device":
             # Pure one-program encode: two downloads, no per-phase crossings.
             x_hat, y_hat, sym, idx, overflow = self._encode_pass(
-                self.params, y, z_symbols, scale)
+                self.params, y, z_symbols, scale, z_qs)
             if not bool(overflow):
                 sym = np.asarray(sym).astype(np.int32)
                 idx = np.asarray(idx)
@@ -249,7 +322,7 @@ class Codec:
                 # symbol collection through the int32 steps path.
                 self._x.mode = "encode"
                 self._x.encoder_chunks = []
-                x_hat, y_hat = self._run_codec(y, z_symbols, scale)
+                x_hat, y_hat = self._run_codec(y, z_symbols, scale, z_qs)
                 jax.block_until_ready(x_hat)
                 self._x.mode = "idle"
             y_strings = self._flush_interleaved(batch)
@@ -265,7 +338,7 @@ class Codec:
         # y: shared codec program in encode mode.
         self._x.mode = "encode"
         self._x.encoder_chunks = []
-        x_hat, y_hat = self._run_codec(y, z_symbols, scale)
+        x_hat, y_hat = self._run_codec(y, z_symbols, scale, z_qs)
         jax.block_until_ready(x_hat)
         self._x.mode = "idle"
         y_strings = []
@@ -294,13 +367,14 @@ class Codec:
         t0 = time.perf_counter()
         scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
                                  jnp.asarray(inputscale, jnp.float32))
+        z_qs = self._z_qs_for(s, inputscale)
         y_strings = strings[0]
         z_strings = strings[1]
         batch = len(y_strings)
         zh, zw = shape
         n_ch = self.model.cfg.N
 
-        eb_cdfs, eb_lengths, eb_offsets, _ = self._eb
+        eb_cdfs, eb_lengths, eb_offsets, _ = self._eb_for(z_qs)
         z_idx = np.broadcast_to(np.arange(n_ch, dtype=np.int32), (zh, zw, n_ch))
         z_symbols = np.stack([
             decode_with_indexes(z_strings[b], z_idx.ravel(), eb_cdfs,
@@ -326,7 +400,8 @@ class Codec:
             lane_begin = np.concatenate(begins).astype(np.int32)
             x_hat, y_hat = self._device_pass(
                 self.params, z_symbols, jnp.asarray(padded),
-                jnp.asarray(lane_begin), self._dev_tables, scale)
+                jnp.asarray(lane_begin), self._dev_tables, scale,
+                self._dev_n_steps, z_qs)
             jax.block_until_ready(x_hat)
             return {"x_hat": x_hat, "y_hat": y_hat,
                     "cost_time": time.perf_counter() - t0}
@@ -340,7 +415,7 @@ class Codec:
             dec = RansDecoder()
             dec.set_stream(y_strings[b])
             self._x.decoders.append(dec)
-        x_hat, y_hat = self._run_codec(y_zero, z_symbols, scale)
+        x_hat, y_hat = self._run_codec(y_zero, z_symbols, scale, z_qs)
         jax.block_until_ready(x_hat)
         self._x.mode = "idle"
         for dec in self._x.decoders:

@@ -6,14 +6,20 @@ into L lockstep rans16 lanes (32-bit state, 16-bit renorm words, 16-bit
 probabilities — see ``rans/rans.cpp``), so the decoder advances all L lanes
 per step with pure vector arithmetic.
 
-Per decoded symbol the kernel does THREE dynamic gathers total:
-  * ``lut_sf[row, cf]``  -> packed (freq << 16 | start) uint32
-  * ``lut_slot[row, cf]``-> slot (the decoded value before offset)
-  * one stream-word fetch for renormalization
-The cf->slot/start/freq lookup tables are precomputed on host from the
-integer CDFs (O(1) replaces a 12-round sequential binary search, which
-dominated the scan on TPU).  Everything is uint32 math under ``jax.jit``;
-no host callbacks.
+Two lookup strategies, selected by the structure of the ``tables`` dict:
+
+* **Parametric (default for Gaussian tables, round 2)** — tables built by
+  ``parametric_device_tables``: cdf values are EVALUATED analytically
+  (``entropy.parametric.eval_cdf``, erfc on the VPU) inside a lockstep
+  bisection; per decoded symbol the only dynamic gathers are one [n_rows,6]
+  row-param fetch and the stream-word fetch for renormalization.  No
+  multi-MB tables in HBM at all.
+* **LUT fallback** — tables from ``device_tables``: O(1) cf->slot/start/
+  freq lookups in precomputed [n_rows, 2^16] tables (17 MB; the random
+  gathers bound the round-1 scan — kept as the fallback the codec uses
+  when the parametric self-check fails, and for non-Gaussian CDFs).
+
+Everything is uint32 math under ``jax.jit``; no host callbacks.
 """
 
 from __future__ import annotations
@@ -21,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from mlic_tpu.entropy import parametric
 
 PROB_BITS = 16
 _RANS_L = np.uint32(1 << 16)
@@ -56,6 +64,20 @@ def device_tables(cdfs: np.ndarray, cdf_lengths: np.ndarray,
     return {
         "lut_sf": jnp.asarray(lut_sf),
         "lut_slot": jnp.asarray(lut_slot),
+        "max_value": jnp.asarray(np.asarray(cdf_lengths, np.int32) - 2),
+        "offsets": jnp.asarray(np.asarray(offsets, np.int32)),
+    }
+
+
+def parametric_device_tables(params: np.ndarray, cdf_lengths: np.ndarray,
+                             offsets: np.ndarray):
+    """Gather-free decode tables from ``parametric.gaussian_row_params``.
+
+    The returned dict's key structure (presence of ``row_params``) is what
+    switches ``make_decoder`` into the parametric bisection path, and the
+    static ``n_steps`` is carried host-side by the codec driver."""
+    return {
+        "row_params": jnp.asarray(params, jnp.float32),
         "max_value": jnp.asarray(np.asarray(cdf_lengths, np.int32) - 2),
         "offsets": jnp.asarray(np.asarray(offsets, np.int32)),
     }
@@ -107,23 +129,32 @@ def _bypass_payload(x, ptr, words, esc, max_value):
     return x, ptr, value
 
 
-def make_decoder(words: jax.Array):
+def make_decoder(words: jax.Array, n_steps: int = 12):
     """Bind a stream-words buffer; returns (init_fn, decode_fn).
 
     decode_fn(carry, indexes, tables) decodes ``indexes.size`` symbols
     (a multiple of the lane count) in position order, where ``tables`` is
-    the dict from ``device_tables``.
+    the dict from ``parametric_device_tables`` (gather-free bisection) or
+    ``device_tables`` (LUT fallback).  ``n_steps`` is the static bisection
+    depth for the parametric path (``parametric.bisect_steps``).
     """
 
     def init(lane_begin):
         return rans_init(words, lane_begin)
 
-    def decode(carry, indexes, tables):
-        x, ptr = carry
-        L = x.shape[0]
-        n = indexes.shape[0]
-        steps = n // L
-        idx_sl = indexes.reshape(steps, L)
+    def _finish_symbol(x, ptr, slot, esc, max_value, offs):
+        """Shared tail: masked escape payload + offset."""
+
+        def with_escape(args):
+            x, ptr, slot = args
+            x2, ptr2, esc_val = _bypass_payload(x, ptr, words, esc, max_value)
+            return x2, ptr2, jnp.where(esc, esc_val, slot)
+
+        x, ptr, value = jax.lax.cond(
+            jnp.any(esc), with_escape, lambda a: a, (x, ptr, slot))
+        return x, ptr, value + offs
+
+    def _step_lut(tables):
         lut_sf = tables["lut_sf"]
         lut_slot = tables["lut_slot"]
         max_value_t = tables["max_value"]
@@ -138,19 +169,61 @@ def make_decoder(words: jax.Array):
             freq = sf >> 16
             x = freq * (x >> 16) + (x & _MASK16) - start
             x, ptr = _renorm(x, ptr, words)
-
             max_value = max_value_t[row]
             esc = slot == max_value
+            x, ptr, value = _finish_symbol(x, ptr, slot, esc, max_value,
+                                           offsets_t[row])
+            return (x, ptr), value
 
-            def with_escape(args):
-                x, ptr, slot = args
-                x2, ptr2, esc_val = _bypass_payload(x, ptr, words, esc, max_value)
-                return x2, ptr2, jnp.where(esc, esc_val, slot)
+        return step
 
-            x, ptr, value = jax.lax.cond(
-                jnp.any(esc), with_escape, lambda a: a, (x, ptr, slot))
-            return (x, ptr), value + offsets_t[row]
+    def _step_parametric(tables):
+        row_params = tables["row_params"]
+        max_value_t = tables["max_value"]
+        offsets_t = tables["offsets"]
+        total_m1 = jnp.int32((1 << PROB_BITS) - 1)
 
+        def step(c, row):
+            x, ptr = c
+            cf = (x & _MASK16).astype(jnp.int32)
+            p = row_params[row]                    # [L, 6] tiny gather
+            max_value = max_value_t[row]           # == L_row
+            # Escape is row-independent by construction: cdf(L) = 2^16 - 1.
+            esc = cf == total_m1
+            # Lockstep bisection on the analytically evaluated cdf.
+            lo = jnp.zeros_like(cf)
+            v_lo = jnp.zeros_like(cf)
+            hi = max_value
+            v_hi = jnp.full_like(cf, total_m1)
+            for _ in range(n_steps):
+                guard = (hi - lo) > 1
+                mid = (lo + hi) >> 1
+                v_mid = parametric.eval_cdf(mid, p)
+                take = (v_mid <= cf) & guard
+                keep = guard & ~take
+                lo = jnp.where(take, mid, lo)
+                v_lo = jnp.where(take, v_mid, v_lo)
+                hi = jnp.where(keep, mid, hi)
+                v_hi = jnp.where(keep, v_mid, v_hi)
+            slot = jnp.where(esc, max_value, lo)
+            start = jnp.where(esc, total_m1, v_lo).astype(jnp.uint32)
+            freq = jnp.where(esc, 1, v_hi - v_lo).astype(jnp.uint32)
+            x = freq * (x >> 16) + (x & _MASK16) - start
+            x, ptr = _renorm(x, ptr, words)
+            x, ptr, value = _finish_symbol(x, ptr, slot, esc, max_value,
+                                           offsets_t[row])
+            return (x, ptr), value
+
+        return step
+
+    def decode(carry, indexes, tables):
+        x, ptr = carry
+        L = x.shape[0]
+        n = indexes.shape[0]
+        steps = n // L
+        idx_sl = indexes.reshape(steps, L)
+        step = (_step_parametric(tables) if "row_params" in tables
+                else _step_lut(tables))
         (x, ptr), sym = jax.lax.scan(step, (x, ptr), idx_sl)
         return (x, ptr), sym.reshape(n)
 

@@ -245,12 +245,16 @@ class EntropyBottleneckVbr(EntropyBottleneck):
 
 def entropy_bottleneck_tables(eb_params: dict, channels: int,
                               filters: Sequence[int] = (3, 3, 3, 3),
-                              tail_mass: float = TAIL_MASS):
+                              tail_mass: float = TAIL_MASS,
+                              qs: float = 1.0):
     """Host-side CDF table construction for the factorized prior.
 
     Equivalent of compressai ``EntropyBottleneck.update()`` reached by the
     reference's per-epoch ``net.update(force=True)``
-    (``MLIC++/playground/train.py:228-233``).
+    (``MLIC++/playground/train.py:228-233``).  ``qs != 1`` builds tables for
+    a variable quantization step (``EntropyBottleneckVbr.update_variable``,
+    reference ``mlicpp_vbr.py:1168-1183``): symbols live on the grid
+    ``median + k*qs`` and each slot integrates the density over ``±qs/2``.
 
     Args:
       eb_params: the flax param dict of an ``EntropyBottleneck`` module.
@@ -258,18 +262,21 @@ def entropy_bottleneck_tables(eb_params: dict, channels: int,
       (quantized_cdf [C, max+2] int32, cdf_length [C], offset [C], medians [C] f32)
     """
     eb_params = jax.device_get(eb_params)  # one batched transfer
+    qs = float(qs)
 
     quantiles = np.asarray(eb_params["quantiles"], np.float32)
     medians = quantiles[:, 0, 1]
-    minima = np.maximum(np.ceil(medians - quantiles[:, 0, 0]).astype(np.int64), 0)
-    maxima = np.maximum(np.ceil(quantiles[:, 0, 2] - medians).astype(np.int64), 0)
+    minima = np.maximum(
+        np.ceil((medians - quantiles[:, 0, 0]) / qs).astype(np.int64), 0)
+    maxima = np.maximum(
+        np.ceil((quantiles[:, 0, 2] - medians) / qs).astype(np.int64), 0)
     pmf_lengths = minima + maxima + 1
     max_length = int(pmf_lengths.max())
 
-    # Sample the density at integer offsets around the median.  The monotone
+    # Sample the density at qs-grid offsets around the median.  The monotone
     # MLP is evaluated in float32 numpy on host — tables are host artifacts
     # shared by encoder and decoder, so no device math is involved.
-    samples = (np.arange(max_length)[None, :] - minima[:, None]
+    samples = ((np.arange(max_length)[None, :] - minima[:, None]) * qs
                + medians[:, None]).astype(np.float32)[:, None, :]  # [C,1,L]
 
     n_layers = len(filters) + 1
@@ -291,8 +298,8 @@ def entropy_bottleneck_tables(eb_params: dict, channels: int,
     def sigmoid(v):
         return 0.5 * (1.0 + np.tanh(0.5 * v))
 
-    lower = sigmoid(logits_np(samples - 0.5))[:, 0, :]
-    upper = sigmoid(logits_np(samples + 0.5))[:, 0, :]
+    lower = sigmoid(logits_np(samples - 0.5 * qs))[:, 0, :]
+    upper = sigmoid(logits_np(samples + 0.5 * qs))[:, 0, :]
     pmfs = upper - lower
     # Tail mass on both sides of the support.
     tail = lower[np.arange(len(medians)), 0] + (

@@ -19,6 +19,13 @@ class ModelConfig:
     # VBR machinery (reference mlicpp_vbr.py:83-100 / mlicpp_sd_vbr.py:92-100)
     lmbda: tuple = ()
     gain_init: tuple = ()
+    # QuantABCD dead-zone reconstruction in forward AND the real coding path
+    # (reference ``no_quantoffset`` attribute, default True = off,
+    # mlicpp_vbr.py:102; coding glue utils/ckbd.py:76-121,146-193).
+    quant_offset: bool = False
+    # Variable-rate hyper-latent: EntropyBottleneckVbr + gayn2zqstep MLP
+    # (reference ``vr_entbttlnck`` ctor arg, mlicpp_vbr.py:104-117).
+    vr_entbttlnck: bool = False
     # Compute dtype for the transforms OUTSIDE the entropy loop (g_a, h_a,
     # g_s): "bfloat16" halves MXU time without touching bitstream
     # determinism (entropy-parameter path stays float32).  Param dtype is

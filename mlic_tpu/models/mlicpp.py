@@ -86,7 +86,7 @@ class MLICPlusPlus(nn.Module):
         # h_s feeds the entropy parameters: stays float32 for coding
         # determinism regardless of transform_dtype.
         self.h_s = HyperSynthesis(M=hyper_M, N=N, depthwise=dw)
-        self.entropy_bottleneck = EntropyBottleneck(channels=N)
+        self.entropy_bottleneck = self._make_entropy_bottleneck(N)
 
         ch_hidden = (96, 96) if cfg.small_decoder else (192, 128)
         ch_dw = dw and not cfg.small_decoder  # context_old in SD
@@ -122,6 +122,11 @@ class MLICPlusPlus(nn.Module):
             for i in range(S)]
 
         self.scale_table = jnp.asarray(get_scale_table(), jnp.float32)
+
+    def _make_entropy_bottleneck(self, channels: int):
+        """Hook: the VBR subclass swaps in ``EntropyBottleneckVbr`` when
+        ``cfg.vr_entbttlnck`` (reference ``mlicpp_vbr.py:104-117``)."""
+        return EntropyBottleneck(channels=channels)
 
     # ---------------- shared per-slice context helpers -----------------
     def _slice_ctx(self, idx: int, y_hat_slices):
@@ -211,17 +216,24 @@ class MLICPlusPlus(nn.Module):
         return self.entropy_bottleneck.aux_loss()
 
     # ------------------------- analysis only ---------------------------
-    def analyze(self, x):
+    def analyze(self, x, z_qs=1.0):
         """Encoder front half: x -> (y, z_symbols) for the codec driver.
         Accepts uint8 images (scaled by 1/255) to keep the host->device
-        transfer at 1 byte/channel."""
+        transfer at 1 byte/channel.  ``z_qs`` is the hyper-latent
+        quantization step (1.0 except for VBR models with a variable-rate
+        bottleneck)."""
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
         y = self.g_a(x)
         z = self.h_a(y)
         medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
-        z_symbols = jnp.round(z - medians).astype(jnp.int32)
-        return y, z_symbols
+        z_symbols = jnp.round((z - medians) / jnp.asarray(z_qs, jnp.float32))
+        return y, z_symbols.astype(jnp.int32)
+
+    def _z_hat(self, z_symbols, z_qs):
+        """Decoder-side hyper-latent reconstruction from coded symbols."""
+        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
+        return z_symbols.astype(jnp.float32) * jnp.asarray(z_qs, jnp.float32) + medians
 
     # ------------------------- real coding -----------------------------
     #
@@ -244,7 +256,16 @@ class MLICPlusPlus(nn.Module):
         # uint8 indexes: the scale table has 64 rows; 4x smaller downloads.
         indexes = build_indexes(sc_sq * scale, self.scale_table).astype(jnp.uint8)
         cand = jnp.round((squeeze(y_slice) - mu_sq) * scale).astype(jnp.int32)
-        return mu_sq, indexes, cand
+        return mu_sq, sc_sq, indexes, cand
+
+    def _phase_recon(self, symbols, mu_sq, sc_sq, scale):
+        """Reconstruct a squeezed phase from its integer symbols.  The VBR
+        subclass applies the QuantABCD dead-zone offset here when
+        ``cfg.quant_offset`` (reference ``utils/ckbd.py:146-193`` intent);
+        inputs are identical on the encode and decode side, so the offset
+        round-trips bit-exactly."""
+        del sc_sq
+        return symbols.astype(jnp.float32) * (1.0 / scale) + mu_sq
 
     def _empty_codec_state(self, b, h, w):
         cfg = self.cfg
@@ -256,6 +277,7 @@ class MLICPlusPlus(nn.Module):
             "y_buf": jnp.zeros((b, h, w, cfg.M), f32),
             "slice_anchor": jnp.zeros((b, h, w, C), f32),
             "means_sq": jnp.zeros((b, h, w // 2, C), f32),
+            "scales_sq": jnp.zeros((b, h, w // 2, C), f32),
             "inter_ctx": jnp.zeros((b, h, w, 2 * C), f32),
             "channel_ctx": jnp.zeros((b, h, w, 4 * C), f32),
             "scale": jnp.ones((), f32),
@@ -266,12 +288,17 @@ class MLICPlusPlus(nn.Module):
         overrides (Gain gather)."""
         return jnp.ones((), jnp.float32)
 
-    def codec_begin(self, y, z_symbols, scale):
+    def z_step(self, s=0, inputscale=0.0):
+        """Hyper-latent quantization step; 1.0 unless the VBR subclass has a
+        variable-rate bottleneck (``gayn2zqstep``, reference
+        ``mlicpp_vbr.py:104-117``)."""
+        return jnp.ones((), jnp.float32)
+
+    def codec_begin(self, y, z_symbols, scale, z_qs=1.0):
         """Start a codec run: hyper path + anchor params of slice 0.
 
         Returns (state, indexes_sq, candidate_symbols_sq)."""
-        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
-        z_hat = z_symbols.astype(jnp.float32) + medians
+        z_hat = self._z_hat(z_symbols, z_qs)
         hyper_params = self.h_s(z_hat)
         b, h, w, _ = y.shape
         state = self._empty_codec_state(b, h, w)
@@ -279,10 +306,11 @@ class MLICPlusPlus(nn.Module):
         state["scale"] = jnp.asarray(scale, jnp.float32)
         params_anchor = self._anchor_params(0, hyper_params, None, None)
         scales_a, means_a = self._chunk2(params_anchor)
-        mu_sq, indexes, cand = self._phase_quantities(
+        mu_sq, sc_sq, indexes, cand = self._phase_quantities(
             ckbd_anchor_squeeze, y[..., :self.cfg.slice_ch], scales_a, means_a,
             state["scale"])
         state["means_sq"] = mu_sq
+        state["scales_sq"] = sc_sq
         return state, indexes, cand
 
     def _buf_slices(self, state, idx):
@@ -300,8 +328,8 @@ class MLICPlusPlus(nn.Module):
         _, hyper_means = self._chunk2(hyper_params)
         y_hat_slices = self._buf_slices(state, idx)
 
-        slice_anchor = ckbd_anchor_unsqueeze(
-            symbols.astype(jnp.float32) * rescale + state["means_sq"])
+        slice_anchor = ckbd_anchor_unsqueeze(self._phase_recon(
+            symbols, state["means_sq"], state["scales_sq"], scale))
         lrp_a = self._lrp(self.lrp_anchor, idx, hyper_means, y_hat_slices, slice_anchor)
         slice_anchor = slice_anchor + ckbd_anchor(lrp_a)
 
@@ -313,10 +341,11 @@ class MLICPlusPlus(nn.Module):
         params_na = self._nonanchor_params(idx, hyper_params, local_ctx, intra_ctx,
                                            inter_ctx, channel_ctx)
         scales_na, means_na = self._chunk2(params_na)
-        mu_sq, indexes, cand = self._phase_quantities(
+        mu_sq, sc_sq, indexes, cand = self._phase_quantities(
             ckbd_nonanchor_squeeze, y[..., idx * C:(idx + 1) * C],
             scales_na, means_na, scale)
-        state = dict(state, slice_anchor=slice_anchor, means_sq=mu_sq)
+        state = dict(state, slice_anchor=slice_anchor, means_sq=mu_sq,
+                     scales_sq=sc_sq)
         return state, indexes, cand
 
     def codec_step_nonanchor(self, y, state, symbols, idx: int):
@@ -330,8 +359,8 @@ class MLICPlusPlus(nn.Module):
         _, hyper_means = self._chunk2(hyper_params)
         y_hat_slices = self._buf_slices(state, idx)
 
-        slice_nonanchor = ckbd_nonanchor_unsqueeze(
-            symbols.astype(jnp.float32) * rescale + state["means_sq"])
+        slice_nonanchor = ckbd_nonanchor_unsqueeze(self._phase_recon(
+            symbols, state["means_sq"], state["scales_sq"], scale))
         y_hat_slice = slice_nonanchor + state["slice_anchor"]
         lrp_na = self._lrp(self.lrp_nonanchor, idx, hyper_means, y_hat_slices,
                            y_hat_slice)
@@ -346,11 +375,11 @@ class MLICPlusPlus(nn.Module):
             inter_ctx, channel_ctx = self._slice_ctx(nxt, y_hat_slices)
             params_anchor = self._anchor_params(nxt, hyper_params, inter_ctx, channel_ctx)
             scales_a, means_a = self._chunk2(params_anchor)
-            mu_sq, indexes, cand = self._phase_quantities(
+            mu_sq, sc_sq, indexes, cand = self._phase_quantities(
                 ckbd_anchor_squeeze, y[..., nxt * C:(nxt + 1) * C],
                 scales_a, means_a, scale)
-            state = dict(state, means_sq=mu_sq, inter_ctx=inter_ctx,
-                         channel_ctx=channel_ctx)
+            state = dict(state, means_sq=mu_sq, scales_sq=sc_sq,
+                         inter_ctx=inter_ctx, channel_ctx=channel_ctx)
         else:
             indexes = jnp.zeros_like(state["means_sq"], jnp.int32)
             cand = jnp.zeros_like(indexes)
@@ -360,7 +389,7 @@ class MLICPlusPlus(nn.Module):
         y_hat = state["y_buf"]
         return self.g_s(y_hat), y_hat
 
-    def codec_pass(self, y, z_symbols, exchange: Exchange, scale=1.0):
+    def codec_pass(self, y, z_symbols, exchange: Exchange, scale=1.0, z_qs=1.0):
         """Fused compress/decompress program (see module docstring).
 
         Args:
@@ -374,21 +403,19 @@ class MLICPlusPlus(nn.Module):
         cfg = self.cfg
         C = cfg.slice_ch
         scale = jnp.asarray(scale, jnp.float32)
-        rescale = 1.0 / scale
-        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
-        z_hat = z_symbols.astype(jnp.float32) + medians
+        z_hat = self._z_hat(z_symbols, z_qs)
         hyper_params = self.h_s(z_hat)
         _, hyper_means = self._chunk2(hyper_params)
 
         def phase(tag, squeeze, unsqueeze, y_slice, scales, means):
             """One checkerboard phase: device params -> host symbols -> ŷ half."""
-            mu_sq, indexes, cand = self._phase_quantities(
+            mu_sq, sc_sq, indexes, cand = self._phase_quantities(
                 squeeze, y_slice, scales, means, scale)
             symbols = io_callback(
                 functools.partial(exchange, tag),
                 jax.ShapeDtypeStruct(cand.shape, jnp.int32),
                 indexes, cand, ordered=True)
-            return unsqueeze(symbols.astype(jnp.float32) * rescale + mu_sq)
+            return unsqueeze(self._phase_recon(symbols, mu_sq, sc_sq, scale))
 
         y_hat_slices = []
         for idx in range(cfg.slice_num):
@@ -421,7 +448,7 @@ class MLICPlusPlus(nn.Module):
         return x_hat, y_hat
 
     def codec_device_pass(self, z_symbols, words, lane_begin, tables,
-                          scale, n_lanes: int):
+                          scale, n_lanes: int, n_steps: int = 12, z_qs=1.0):
         """Single-program decompress with ON-DEVICE interleaved rANS.
 
         The reference crosses device->host twice per slice to run its C++
@@ -434,9 +461,12 @@ class MLICPlusPlus(nn.Module):
           z_symbols: int32 [B,h/4,w/4,N].
           words: int32 [W] concatenated 16-bit stream words (all images).
           lane_begin: int32 [B*n_lanes] per-lane word offsets into ``words``.
-          tables: decode-table dict from ``device_rans.device_tables`` built
-            WITH the extra pad row appended (row id = n_rows-1).
+          tables: decode-table dict — ``device_rans.parametric_device_tables``
+            (gather-free analytic cdf path) or ``device_rans.device_tables``
+            (LUT fallback) — built WITH the extra pad row appended
+            (row id = n_rows-1).
           scale: VBR gain (1.0 fixed-rate).
+          n_steps: static bisection depth for the parametric path.
         Returns: (x_hat, y_hat)
         """
         from mlic_tpu.entropy.device_rans import make_decoder
@@ -444,16 +474,14 @@ class MLICPlusPlus(nn.Module):
         cfg = self.cfg
         C = cfg.slice_ch
         scale = jnp.asarray(scale, jnp.float32)
-        rescale = 1.0 / scale
         pad_row = tables["offsets"].shape[0] - 1
         b = z_symbols.shape[0]
 
-        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
-        z_hat = z_symbols.astype(jnp.float32) + medians
+        z_hat = self._z_hat(z_symbols, z_qs)
         hyper_params = self.h_s(z_hat)
         _, hyper_means = self._chunk2(hyper_params)
 
-        init, decode = make_decoder(words)
+        init, decode = make_decoder(words, n_steps)
         carry = init(lane_begin)
 
         def phase(carry, squeeze, unsqueeze, scales, means):
@@ -470,7 +498,7 @@ class MLICPlusPlus(nn.Module):
             new_carry, sym = decode(carry, ordered, tables)
             sym = sym.reshape(steps, b, n_lanes).transpose(1, 0, 2).reshape(b, -1)
             sym = sym[:, :n_img].reshape(mu_sq.shape)
-            return new_carry, unsqueeze(sym.astype(jnp.float32) * rescale + mu_sq)
+            return new_carry, unsqueeze(self._phase_recon(sym, mu_sq, sc_sq, scale))
 
         y_hat_slices = []
         for idx in range(cfg.slice_num):
@@ -499,7 +527,7 @@ class MLICPlusPlus(nn.Module):
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         return self.g_s(y_hat), y_hat
 
-    def codec_encode_pass(self, y, z_symbols, scale):
+    def codec_encode_pass(self, y, z_symbols, scale, z_qs=1.0):
         """Pure (no-exchange) encode program: computes every phase's
         symbols/indexes in one jit.  The host packs the interleaved streams
         from two downloads (symbols, indexes) — no per-phase crossings.
@@ -518,20 +546,18 @@ class MLICPlusPlus(nn.Module):
         cfg = self.cfg
         C = cfg.slice_ch
         scale = jnp.asarray(scale, jnp.float32)
-        rescale = 1.0 / scale
-        medians = self.entropy_bottleneck.medians().reshape(1, 1, 1, -1)
-        z_hat = z_symbols.astype(jnp.float32) + medians
+        z_hat = self._z_hat(z_symbols, z_qs)
         hyper_params = self.h_s(z_hat)
         _, hyper_means = self._chunk2(hyper_params)
 
         syms, idxs = [], []
 
         def phase(squeeze, unsqueeze, y_slice, scales, means):
-            mu_sq, indexes, cand = self._phase_quantities(
+            mu_sq, sc_sq, indexes, cand = self._phase_quantities(
                 squeeze, y_slice, scales, means, scale)
             syms.append(cand.reshape(cand.shape[0], -1))
             idxs.append(indexes.reshape(cand.shape[0], -1))  # uint8: slim download
-            return unsqueeze(cand.astype(jnp.float32) * rescale + mu_sq)
+            return unsqueeze(self._phase_recon(cand, mu_sq, sc_sq, scale))
 
         y_hat_slices = []
         for idx in range(cfg.slice_num):

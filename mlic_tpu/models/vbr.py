@@ -43,6 +43,18 @@ class MLICPlusPlusVbr(MLICPlusPlus):
         self.quant_abcd = [nn.Dense(12, name="qabcd_0"),
                            nn.Dense(12, name="qabcd_1"),
                            nn.Dense(1, name="qabcd_2")]
+        if self.cfg.vr_entbttlnck:
+            # gayn2zqstep: Linear(1,10)-ReLU-Linear(10,10)-ReLU-Linear(10,1)
+            # -Softplus, lower-bounded at 0.5 (reference mlicpp_vbr.py:104-117).
+            self.gayn2zqstep = [nn.Dense(10, name="zqstep_0"),
+                                nn.Dense(10, name="zqstep_1"),
+                                nn.Dense(1, name="zqstep_2")]
+
+    def _make_entropy_bottleneck(self, channels: int):
+        from mlic_tpu.entropy.models import EntropyBottleneck, EntropyBottleneckVbr
+        if self.cfg.vr_entbttlnck:
+            return EntropyBottleneckVbr(channels=channels)
+        return EntropyBottleneck(channels=channels)
 
     @property
     def levels(self) -> int:
@@ -55,6 +67,36 @@ class MLICPlusPlusVbr(MLICPlusPlus):
         h = nn.relu(self.quant_abcd[1](h))
         return self.quant_abcd[2](h)[..., 0]
 
+    def _zqstep(self, scale):
+        """Variable z quantization step from the gain (reference
+        ``mlicpp_vbr.py:255-257``): lower_bound(softplus-MLP(1/scale), 0.5)."""
+        inp = jnp.reshape(1.0 / scale, (1, 1))
+        h = nn.relu(self.gayn2zqstep[0](inp))
+        h = nn.relu(self.gayn2zqstep[1](h))
+        q = jax.nn.softplus(self.gayn2zqstep[2](h))[0, 0]
+        return lower_bound(q, 0.5)
+
+    def z_step(self, s=0, inputscale=0.0):
+        """Coding-time z quantization step (1.0 without ``vr_entbttlnck``)."""
+        if not self.cfg.vr_entbttlnck:
+            return jnp.ones((), jnp.float32)
+        return self._zqstep(self.gain_scale(s, inputscale))
+
+    def _phase_recon(self, symbols, mu_sq, sc_sq, scale):
+        """QuantABCD dead-zone reconstruction in the REAL coding path
+        (reference intent of ``utils/ckbd.py:76-121,146-193``: symbols are
+        plain gain-scaled rounds; the decoder adds a learned magnitude
+        offset, zeroed at zero-quantized positions).  Encode and decode
+        compute this from bit-identical (mu, sigma, scale), so round trips
+        stay exact."""
+        if not self.cfg.quant_offset:
+            return super()._phase_recon(symbols, mu_sq, sc_sq, scale)
+        sym = symbols.astype(jnp.float32)
+        q_stdev = lower_bound(sc_sq * scale, 0.11)
+        offs = -self.quant_offset(q_stdev, scale)
+        off = jnp.where(jnp.abs(sym) < 1e-4, 0.0, offs)
+        return jnp.sign(sym) * (jnp.abs(sym) + off) * (1.0 / scale) + mu_sq
+
     def _scale(self, s, inputscale=None):
         """Gain gather with clipped traced index; inputscale overrides."""
         s = jnp.clip(jnp.asarray(s, jnp.int32), 0, len(self.cfg.gain_init) - 1)
@@ -64,11 +106,13 @@ class MLICPlusPlusVbr(MLICPlusPlus):
         return scale
 
     def __call__(self, x, training: bool = True, stage: int = 2, s=1,
-                 inputscale=None, quant_offset: bool = False):
+                 inputscale=None, quant_offset: bool | None = None):
         if stage == 1:
             return super().__call__(x, training)
         cfg = self.cfg
         C = cfg.slice_ch
+        if quant_offset is None:
+            quant_offset = cfg.quant_offset
         scale = self._scale(s, inputscale)
         rescale = 1.0 / scale
         # touch QuantABCD so its params exist regardless of the branch taken
@@ -77,8 +121,15 @@ class MLICPlusPlusVbr(MLICPlusPlus):
 
         y = self.g_a(x)
         z = self.h_a(y)
-        _, z_likelihoods = self.entropy_bottleneck(z, training)
-        z_hat = self.entropy_bottleneck.ste_quantize(z)
+        if cfg.vr_entbttlnck:
+            # Variable-rate hyper-latent: qs-grid quantization + qs-integrated
+            # likelihoods; the quantized z_hat feeds h_s directly (reference
+            # ``mlicpp_vbr.py:255-258`` uses the bottleneck output, not STE).
+            z_qs = self._zqstep(scale)
+            z_hat, z_likelihoods = self.entropy_bottleneck(z, training, qs=z_qs)
+        else:
+            _, z_likelihoods = self.entropy_bottleneck(z, training)
+            z_hat = self.entropy_bottleneck.ste_quantize(z)
         hyper_params = self.h_s(z_hat)
         _, hyper_means = self._chunk2(hyper_params)
 

@@ -1,5 +1,7 @@
 """VBR model tests: multi-rate forward, Frank-Wolfe solver, codec round-trip."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,3 +104,88 @@ def test_vbr_codec_roundtrip_two_levels(vbr):
         np.testing.assert_array_equal(np.asarray(enc["x_hat"]), np.asarray(dec["x_hat"]))
         sizes.append(len(enc["strings"][0][0]))
     assert sizes[0] <= sizes[1]  # coarser quantization -> fewer bytes
+
+
+TINY_VBR_QO = dataclasses.replace(TINY_VBR, name="TINY_VBR_QO",
+                                  quant_offset=True)
+TINY_VBR_VRZ = dataclasses.replace(TINY_VBR, name="TINY_VBR_VRZ",
+                                   vr_entbttlnck=True)
+TINY_SD_VBR = dataclasses.replace(TINY_VBR, name="TINY_SD_VBR",
+                                  small_decoder=True)
+
+
+def _init_vbr(cfg, shape=(1, 64, 64, 3)):
+    model = MLICPlusPlusVbr(cfg=cfg)
+    x = jax.random.uniform(jax.random.key(0), shape)
+    params = jax.jit(lambda r, v: model.init(r, v, True, 2, 1))(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)}, x)["params"]
+    return model, params, x
+
+
+def test_quant_offset_codec_roundtrip():
+    """QuantABCD offsets wired into the REAL coding path: symbols stay plain
+    rounds, reconstructions carry the dead-zone offset, and encode/decode
+    agree bit-exactly (VERDICT missing #4 / reference ckbd.py:146-193)."""
+    model, params, x = _init_vbr(TINY_VBR_QO)
+    codec = Codec(model, params)
+    codec.update()
+    enc = codec.compress(x, s=1)
+    dec = codec.decompress(enc["strings"], enc["shape"], s=1)
+    np.testing.assert_array_equal(np.asarray(enc["y_hat"]), np.asarray(dec["y_hat"]))
+    np.testing.assert_array_equal(np.asarray(enc["x_hat"]), np.asarray(dec["x_hat"]))
+    # The coding-path reconstruction matches the quant_offset forward
+    # structure: it must differ from a no-offset codec's reconstruction.
+    model_p, _, _ = _init_vbr(TINY_VBR)
+    codec_p = Codec(model_p, params)
+    codec_p.update()
+    enc_p = codec_p.compress(x, s=1)
+    assert not np.allclose(np.asarray(enc["x_hat"]), np.asarray(enc_p["x_hat"]))
+
+
+def test_vr_entbttlnck_codec_roundtrip_two_steps():
+    """EntropyBottleneckVbr wired into model + codec: variable z step from
+    gayn2zqstep, per-step CDF tables, bit-exact round trip at 2 levels
+    (VERDICT missing #3 / reference mlicpp_vbr.py:104-117,1168-1183)."""
+    model, params, x = _init_vbr(TINY_VBR_VRZ)
+    assert "zqstep_0" in params, "gayn2zqstep params must exist"
+    codec = Codec(model, params)
+    codec.update()
+    z_sizes = {}
+    for s in (0, 2):
+        qs = codec._z_qs_for(s, 0.0)
+        assert qs >= 0.5  # LowerBound(0.5)
+        enc = codec.compress(x, s=s)
+        dec = codec.decompress(enc["strings"], enc["shape"], s=s)
+        np.testing.assert_array_equal(np.asarray(enc["y_hat"]),
+                                      np.asarray(dec["y_hat"]))
+        np.testing.assert_array_equal(np.asarray(enc["x_hat"]),
+                                      np.asarray(dec["x_hat"]))
+        z_sizes[s] = len(enc["strings"][1][0])
+    # distinct steps were cached per level
+    assert len(codec._zqs_cache) == 2
+
+
+def test_vr_entbttlnck_forward_finite():
+    model, params, x = _init_vbr(TINY_VBR_VRZ)
+    f = jax.jit(lambda p, v, s: model.apply({"params": p}, v, False, 2, s))
+    for s in (0, 1, 2):
+        out = f(params, x, jnp.asarray(s))
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
+        assert np.isfinite(np.asarray(out["likelihoods"]["z"])).all()
+
+
+def test_sd_vbr_forward_and_roundtrip():
+    """Small-decoder + VBR combined config (MLICPP_M_SMALL_DEC_VBR shape,
+    tiny dims): forward at 2 levels + bit-exact codec round trip
+    (VERDICT weak #8)."""
+    model, params, x = _init_vbr(TINY_SD_VBR)
+    f = jax.jit(lambda p, v, s: model.apply({"params": p}, v, False, 2, s))
+    for s in (0, 2):
+        out = f(params, x, jnp.asarray(s))
+        assert out["x_hat"].shape == x.shape
+    codec = Codec(model, params)
+    codec.update()
+    enc = codec.compress(x, s=1)
+    dec = codec.decompress(enc["strings"], enc["shape"], s=1)
+    np.testing.assert_array_equal(np.asarray(enc["y_hat"]), np.asarray(dec["y_hat"]))
+    np.testing.assert_array_equal(np.asarray(enc["x_hat"]), np.asarray(dec["x_hat"]))
