@@ -42,6 +42,18 @@ from mlic_tpu.entropy.rans import (
 from mlic_tpu.models.mlicpp import MLICPlusPlus
 
 
+def _bucket(n: int, minimum: int = 1 << 14) -> int:
+    """Pad a buffer length to quarter-power-of-2 buckets: <= 25% upload
+    waste with at most 4 compilations per octave (the round-1 pow2 buckets
+    wasted up to 2x upload bytes on the axon tunnel)."""
+    n = max(n, minimum)
+    p = 1 << (max(n, 2) - 1).bit_length()  # next pow2 >= n
+    for frac in (p // 2 + p // 8, p // 2 + p // 4, p // 2 + 3 * (p // 8)):
+        if n <= frac:
+            return frac
+    return p
+
+
 class _ExchangeState:
     """Mutable host-side symbol-exchange state shared by both backends."""
 
@@ -111,9 +123,9 @@ class Codec:
                                           method=cls.z_step))
         if backend == "device":
             self._device_pass = jax.jit(
-                lambda p, zs, w, lb, tables, sc, ns, zqs: model.apply(
+                lambda p, zs, w, lb, tables, sc, ns, zqs, ev, eb: model.apply(
                     {"params": p}, zs, w, lb, tables, sc, n_lanes, ns, zqs,
-                    method=cls.codec_device_pass),
+                    ev, eb, method=cls.codec_device_pass),
                 static_argnums=(6,))
             self._dev_n_steps = 12
             self.parametric = False  # set by update()
@@ -384,24 +396,30 @@ class Codec:
 
         if self.backend == "device":
             from mlic_tpu.entropy.rans.coder import parse_interleaved
-            words_list, begins = [], []
+            words_list, begins, escs, esc_begins = [], [], [], []
             offset = 0
+            esc_off = 0
             for b in range(batch):
-                wds, beg = parse_interleaved(y_strings[b])
+                wds, beg, esc = parse_interleaved(y_strings[b])
                 words_list.append(wds.astype(np.int32))
                 begins.append(beg.astype(np.int64) + offset)
                 offset += len(wds)
+                escs.append(esc)
+                esc_begins.append(esc_off)
+                esc_off += len(esc)
             words = np.concatenate(words_list)
-            # pad the words buffer to a power-of-2 length: at most ~log2
-            # distinct compilations per resolution instead of one per stream
-            size = 1 << max(int(np.ceil(np.log2(max(len(words), 1)))), 14)
-            padded = np.zeros(size, np.int32)
+            padded = np.zeros(_bucket(len(words)), np.int32)
             padded[:len(words)] = words
             lane_begin = np.concatenate(begins).astype(np.int32)
+            esc_values = np.zeros(_bucket(max(esc_off, 1), minimum=1024),
+                                  np.int32)
+            if esc_off:
+                esc_values[:esc_off] = np.concatenate(escs)
             x_hat, y_hat = self._device_pass(
                 self.params, z_symbols, jnp.asarray(padded),
                 jnp.asarray(lane_begin), self._dev_tables, scale,
-                self._dev_n_steps, z_qs)
+                self._dev_n_steps, z_qs, jnp.asarray(esc_values),
+                jnp.asarray(np.asarray(esc_begins, np.int32)))
             jax.block_until_ready(x_hat)
             return {"x_hat": x_hat, "y_hat": y_hat,
                     "cost_time": time.perf_counter() - t0}

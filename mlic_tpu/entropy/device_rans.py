@@ -19,6 +19,13 @@ Two lookup strategies, selected by the structure of the ``tables`` dict:
   gathers bound the round-1 scan — kept as the fallback the codec uses
   when the parametric self-check fails, and for non-Gaussian CDFs).
 
+Escape handling (format v2): out-of-support values travel in a plain int32
+side channel of the stream, NOT as in-lane bypass digits — the scan body
+has no data-dependent control flow at all (the round-1 per-step
+``lax.cond`` + masked bypass loop cost ~0.4 ms/step even with zero
+escapes).  The decode scan flags escape positions and one vectorized
+post-pass patches the values in.
+
 Everything is uint32 math under ``jax.jit``; no host callbacks.
 """
 
@@ -33,9 +40,6 @@ from mlic_tpu.entropy import parametric
 PROB_BITS = 16
 _RANS_L = np.uint32(1 << 16)
 _MASK16 = np.uint32((1 << 16) - 1)
-_BYPASS_BITS = 5
-_BYPASS_SHIFT = PROB_BITS - _BYPASS_BITS  # 11
-_MAX_BYPASS_DIGITS = 17
 
 
 def device_tables(cdfs: np.ndarray, cdf_lengths: np.ndarray,
@@ -92,67 +96,40 @@ def rans_init(words: jax.Array, lane_begin: jax.Array):
     return x, lane_begin + 2
 
 
-def _renorm(x, ptr, words, active=None):
+def _renorm(x, ptr, words):
     need = x < _RANS_L
-    if active is not None:
-        need = need & active
     w = words[jnp.minimum(ptr, words.shape[0] - 1)].astype(jnp.uint32)
     x = jnp.where(need, (x << 16) | w, x)
     ptr = ptr + need.astype(jnp.int32)
     return x, ptr
 
 
-def _bypass_payload(x, ptr, words, esc, max_value):
-    """Masked escape decoding: lanes in ``esc`` read zigzag 4-bit digits."""
-    u = jnp.zeros_like(x)
-    shift = jnp.zeros(x.shape, jnp.int32)
-    active = esc
-
-    def digit_step(_, carry):
-        x, ptr, u, shift, active = carry
-        cf = x & _MASK16
-        s5 = cf >> _BYPASS_SHIFT
-        nx = jnp.uint32(1 << _BYPASS_SHIFT) * (x >> 16) + cf - (s5 << _BYPASS_SHIFT)
-        x = jnp.where(active, nx, x).astype(jnp.uint32)
-        x, ptr = _renorm(x, ptr, words, active)
-        sh = jnp.minimum(shift, 28).astype(jnp.uint32)
-        u = jnp.where(active, u | ((s5 & jnp.uint32(0xF)) << sh), u).astype(jnp.uint32)
-        shift = (shift + jnp.where(active, 4, 0)).astype(jnp.int32)
-        active = active & ((s5 & jnp.uint32(0x10)) != 0)
-        return x, ptr, u, shift, active
-
-    x, ptr, u, _, _ = jax.lax.fori_loop(
-        0, _MAX_BYPASS_DIGITS, digit_step, (x, ptr, u, shift, active))
-    neg = (u & 1) == 1
-    value = jnp.where(neg, -(((u + 1) >> 1).astype(jnp.int32)),
-                      ((u >> 1).astype(jnp.int32)) + max_value)
-    return x, ptr, value
-
-
-def make_decoder(words: jax.Array, n_steps: int = 12):
-    """Bind a stream-words buffer; returns (init_fn, decode_fn).
+def make_decoder(words: jax.Array, n_steps: int = 12,
+                 esc_values: jax.Array | None = None,
+                 esc_begin: jax.Array | None = None):
+    """Bind a stream buffer; returns (init_fn, decode_fn).
 
     decode_fn(carry, indexes, tables) decodes ``indexes.size`` symbols
     (a multiple of the lane count) in position order, where ``tables`` is
     the dict from ``parametric_device_tables`` (gather-free bisection) or
     ``device_tables`` (LUT fallback).  ``n_steps`` is the static bisection
     depth for the parametric path (``parametric.bisect_steps``).
+
+    Escapes (format v2): the scan never branches — escape lanes advance with
+    the escape slot and flag the position; the raw values come from the
+    int32 side channel ``esc_values`` (``esc_begin``: per-image start
+    offsets, one entry per image; images own ``lane_count/len(esc_begin)``
+    consecutive lanes) in ONE vectorized patch per decode call.  Defaults:
+    a single image with an empty side channel.
     """
+    if esc_values is None:
+        esc_values = jnp.zeros((1,), jnp.int32)
+    if esc_begin is None:
+        esc_begin = jnp.zeros((1,), jnp.int32)
 
     def init(lane_begin):
-        return rans_init(words, lane_begin)
-
-    def _finish_symbol(x, ptr, slot, esc, max_value, offs):
-        """Shared tail: masked escape payload + offset."""
-
-        def with_escape(args):
-            x, ptr, slot = args
-            x2, ptr2, esc_val = _bypass_payload(x, ptr, words, esc, max_value)
-            return x2, ptr2, jnp.where(esc, esc_val, slot)
-
-        x, ptr, value = jax.lax.cond(
-            jnp.any(esc), with_escape, lambda a: a, (x, ptr, slot))
-        return x, ptr, value + offs
+        x, ptr = rans_init(words, lane_begin)
+        return x, ptr, jnp.zeros_like(esc_begin)
 
     def _step_lut(tables):
         lut_sf = tables["lut_sf"]
@@ -169,11 +146,8 @@ def make_decoder(words: jax.Array, n_steps: int = 12):
             freq = sf >> 16
             x = freq * (x >> 16) + (x & _MASK16) - start
             x, ptr = _renorm(x, ptr, words)
-            max_value = max_value_t[row]
-            esc = slot == max_value
-            x, ptr, value = _finish_symbol(x, ptr, slot, esc, max_value,
-                                           offsets_t[row])
-            return (x, ptr), value
+            esc = slot == max_value_t[row]
+            return (x, ptr), (slot + offsets_t[row], esc)
 
         return step
 
@@ -205,26 +179,34 @@ def make_decoder(words: jax.Array, n_steps: int = 12):
                 v_lo = jnp.where(take, v_mid, v_lo)
                 hi = jnp.where(keep, mid, hi)
                 v_hi = jnp.where(keep, v_mid, v_hi)
-            slot = jnp.where(esc, max_value, lo)
             start = jnp.where(esc, total_m1, v_lo).astype(jnp.uint32)
             freq = jnp.where(esc, 1, v_hi - v_lo).astype(jnp.uint32)
             x = freq * (x >> 16) + (x & _MASK16) - start
             x, ptr = _renorm(x, ptr, words)
-            x, ptr, value = _finish_symbol(x, ptr, slot, esc, max_value,
-                                           offsets_t[row])
-            return (x, ptr), value
+            return (x, ptr), (lo + offsets_t[row], esc)
 
         return step
 
     def decode(carry, indexes, tables):
-        x, ptr = carry
+        x, ptr, esc_count = carry
         L = x.shape[0]
         n = indexes.shape[0]
         steps = n // L
         idx_sl = indexes.reshape(steps, L)
         step = (_step_parametric(tables) if "row_params" in tables
                 else _step_lut(tables))
-        (x, ptr), sym = jax.lax.scan(step, (x, ptr), idx_sl)
-        return (x, ptr), sym.reshape(n)
+        (x, ptr), (sym, esc) = jax.lax.scan(step, (x, ptr), idx_sl)
+        # Side-channel patch: per-image position-order escape numbering.
+        B = esc_begin.shape[0]
+        lanes = L // B
+        sym_i = sym.reshape(steps, B, lanes).transpose(1, 0, 2).reshape(B, -1)
+        esc_i = esc.reshape(steps, B, lanes).transpose(1, 0, 2).reshape(B, -1)
+        k = (jnp.cumsum(esc_i.astype(jnp.int32), axis=1) - 1
+             + (esc_count + esc_begin)[:, None])
+        vals = esc_values[jnp.clip(k, 0, esc_values.shape[0] - 1)]
+        sym_i = jnp.where(esc_i, vals, sym_i)
+        new_count = esc_count + jnp.sum(esc_i, axis=1, dtype=jnp.int32)
+        out = sym_i.reshape(B, steps, lanes).transpose(1, 0, 2).reshape(n)
+        return (x, ptr, new_count), out
 
     return init, decode

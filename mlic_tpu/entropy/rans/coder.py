@@ -78,11 +78,12 @@ def _load_native():
     lib.mlic_rans16_encode_interleaved.restype = ctypes.c_int64
     lib.mlic_rans16_encode_interleaved.argtypes = [
         i32p, i32p, ctypes.c_int64, ctypes.c_int32, i32p, ctypes.c_int64,
-        i32p, i32p, u16p2, ctypes.c_int64, i64p, i64p]
+        i32p, i32p, u16p2, ctypes.c_int64, i64p, i64p,
+        i32p, ctypes.c_int64, i64p]
     lib.mlic_rans16_decode_interleaved.restype = ctypes.c_int32
     lib.mlic_rans16_decode_interleaved.argtypes = [
         u16p2, i64p, ctypes.c_int32, i32p, ctypes.c_int64, i32p,
-        ctypes.c_int64, i32p, i32p, i32p]
+        ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64, i32p]
     return lib
 
 
@@ -269,12 +270,18 @@ def decode_with_indexes(stream: bytes, indexes, cdfs, cdf_lengths, offsets) -> n
 # ---------------------------------------------------------------------------
 def encode_interleaved(symbols, indexes, n_lanes: int, cdfs, cdf_lengths,
                        offsets) -> bytes:
-    """Encode into ``n_lanes`` lockstep rans16 lane streams.
+    """Encode into ``n_lanes`` lockstep rans16 lane streams (format v2).
 
-    Byte layout: uint32 n_lanes | uint32 n_words | uint32 lane_begin[n_lanes]
-    | uint16 words[n_words] — everything little-endian.  Decodable on-device
-    by ``mlic_tpu.entropy.device_rans`` or on host by
-    ``decode_interleaved`` (test oracle).
+    Out-of-support symbols advance the lane with the escape slot but their
+    raw value travels in a plain int32 side channel (position order) instead
+    of in-lane bypass digits — so the TPU decode scan stays free of
+    data-dependent control flow (the patch is one vectorized pass).
+
+    Byte layout: uint32 n_lanes | uint32 n_words | uint32 n_escapes |
+    uint32 lane_begin[n_lanes] | uint16 words[n_words] | pad to 4B |
+    int32 esc_values[n_escapes] — little-endian.  Decodable on-device by
+    ``mlic_tpu.entropy.device_rans`` or on host by ``decode_interleaved``
+    (test oracle).
     """
     if _NATIVE is None:
         raise RuntimeError("interleaved rANS requires the native library")
@@ -285,6 +292,9 @@ def encode_interleaved(symbols, indexes, n_lanes: int, cdfs, cdf_lengths,
     offsets = _as_i32(offsets).ravel()
     n = len(symbols)
     cap = 8 * max(n, n_lanes) + 4 * n_lanes + 64
+    esc_cap = max(n, 16)
+    esc = np.empty(esc_cap, dtype=np.int32)
+    n_esc = np.zeros(1, dtype=np.int64)
     while True:
         words = np.empty(cap, dtype=np.uint16)
         begin = np.empty(n_lanes, dtype=np.int64)
@@ -294,30 +304,42 @@ def encode_interleaved(symbols, indexes, n_lanes: int, cdfs, cdf_lengths,
             cdfs.shape[1], _i32p(cdf_lengths), _i32p(offsets),
             words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), cap,
             begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            _i32p(esc), esc_cap,
+            n_esc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         if total >= 0:
             break
         cap *= 4
-    header = np.asarray([n_lanes, total], dtype=np.uint32).tobytes()
-    return header + begin.astype(np.uint32).tobytes() + words[:total].tobytes()
+    e = int(n_esc[0])
+    header = np.asarray([n_lanes, total, e], dtype=np.uint32).tobytes()
+    body = begin.astype(np.uint32).tobytes() + words[:total].tobytes()
+    if len(body) % 4:
+        body += b"\x00\x00"
+    return header + body + esc[:e].tobytes()
 
 
 def parse_interleaved(stream: bytes):
-    """-> (words uint16 [n_words], lane_begin int64 [n_lanes])."""
-    head = np.frombuffer(stream[:8], dtype=np.uint32)
-    n_lanes, n_words = int(head[0]), int(head[1])
-    off = 8 + 4 * n_lanes
-    begin = np.frombuffer(stream[8:off], dtype=np.uint32).astype(np.int64)
+    """-> (words uint16 [n_words], lane_begin int64 [n_lanes],
+    esc_values int32 [n_escapes])."""
+    head = np.frombuffer(stream[:12], dtype=np.uint32)
+    n_lanes, n_words, n_esc = int(head[0]), int(head[1]), int(head[2])
+    off = 12 + 4 * n_lanes
+    begin = np.frombuffer(stream[12:off], dtype=np.uint32).astype(np.int64)
     words = np.frombuffer(stream[off:off + 2 * n_words], dtype=np.uint16)
-    return words, begin
+    off += 2 * n_words
+    if off % 4:
+        off += 2
+    esc = np.frombuffer(stream[off:off + 4 * n_esc], dtype=np.int32)
+    return words, begin, esc
 
 
 def decode_interleaved(stream: bytes, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
     """Host reference decode of the interleaved format."""
     if _NATIVE is None:
         raise RuntimeError("interleaved rANS requires the native library")
-    words, begin = parse_interleaved(stream)
+    words, begin, esc = parse_interleaved(stream)
     words = np.ascontiguousarray(words)
+    esc = np.ascontiguousarray(esc)
     indexes = _as_i32(indexes).ravel()
     cdfs = _as_i32(cdfs)
     cdf_lengths = _as_i32(cdf_lengths).ravel()
@@ -327,7 +349,8 @@ def decode_interleaved(stream: bytes, indexes, cdfs, cdf_lengths, offsets) -> np
         words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(begin), _i32p(indexes), len(indexes), _i32p(cdfs), cdfs.shape[1],
-        _i32p(cdf_lengths), _i32p(offsets), _i32p(out))
+        _i32p(cdf_lengths), _i32p(offsets),
+        _i32p(esc), len(esc), _i32p(out))
     if rc != 0:
         raise RuntimeError(f"interleaved decode failed: {rc}")
     return out

@@ -269,24 +269,6 @@ struct Encoder16 {
     }
     x = ((x / freq) << kProbBits) + (x % freq) + start;
   }
-
-  inline void put_bypass5(uint32_t s5) {
-    put(s5 << (kProbBits - kBypassBits), kBypassFreq);
-  }
-
-  inline void put_escape_payload(int64_t value, int32_t max_value) {
-    uint64_t u = value < 0 ? static_cast<uint64_t>(-2 * value - 1)
-                           : static_cast<uint64_t>(2 * (value - max_value));
-    uint32_t digits[17];
-    int n = 0;
-    do {
-      digits[n++] = static_cast<uint32_t>(u & 0xF);
-      u >>= 4;
-    } while (u != 0);
-    for (int i = n - 1; i >= 0; --i) {
-      put_bypass5(digits[i] | (i + 1 < n ? 0x10u : 0u));
-    }
-  }
 };
 
 }  // namespace
@@ -294,13 +276,37 @@ struct Encoder16 {
 extern "C" {
 
 // Encode n symbols into n_lanes interleaved rans16 lane streams.
+//
+// Format v2: out-of-support symbols advance the lane with the escape slot
+// (slot = max_value) but carry NO in-lane bypass payload; the raw int32
+// symbol value is appended to esc_values in POSITION order instead.  This
+// keeps the TPU decode scan free of per-step data-dependent control flow
+// (the side-channel patch is one vectorized pass after the scan — see
+// mlic_tpu/entropy/device_rans.py).
+//
 // out_words receives all lanes' words; lane l occupies
-// [lane_begin[l], lane_end[l]) in decode order.  Returns total words or -1.
+// [lane_begin[l], lane_end[l]) in decode order.  esc_count receives the
+// number of escapes written.  Returns total words, -1 on word-capacity
+// overflow, -2 on escape-capacity overflow.
 int64_t mlic_rans16_encode_interleaved(
     const int32_t* symbols, const int32_t* indexes, int64_t n, int32_t n_lanes,
     const int32_t* cdfs, int64_t cdf_stride, const int32_t* cdf_lengths,
     const int32_t* offsets, uint16_t* out_words, int64_t cap,
-    int64_t* lane_begin, int64_t* lane_end) {
+    int64_t* lane_begin, int64_t* lane_end,
+    int32_t* esc_values, int64_t esc_cap, int64_t* esc_count) {
+  // Side channel in forward position order.
+  int64_t e = 0;
+  for (int64_t p = 0; p < n; ++p) {
+    const int32_t i = indexes[p];
+    const int32_t max_value = cdf_lengths[i] - 2;
+    const int64_t value = static_cast<int64_t>(symbols[p]) - offsets[i];
+    if (value < 0 || value >= max_value) {
+      if (e >= esc_cap) return -2;
+      esc_values[e++] = symbols[p];
+    }
+  }
+  *esc_count = e;
+
   int64_t w = 0;
   for (int32_t lane = 0; lane < n_lanes; ++lane) {
     Encoder16 enc;
@@ -313,13 +319,9 @@ int64_t mlic_rans16_encode_interleaved(
       const int32_t* cdf = cdfs + static_cast<int64_t>(i) * cdf_stride;
       const int32_t max_value = cdf_lengths[i] - 2;
       const int64_t value = static_cast<int64_t>(symbols[p]) - offsets[i];
-      int32_t slot;
-      if (value >= 0 && value < max_value) {
-        slot = static_cast<int32_t>(value);
-      } else {
-        enc.put_escape_payload(value, max_value);
-        slot = max_value;
-      }
+      const int32_t slot = (value >= 0 && value < max_value)
+                               ? static_cast<int32_t>(value)
+                               : max_value;
       enc.put(static_cast<uint32_t>(cdf[slot]),
               static_cast<uint32_t>(cdf[slot + 1] - cdf[slot]));
     }
@@ -336,11 +338,12 @@ int64_t mlic_rans16_encode_interleaved(
   return w;
 }
 
-// Host reference decoder for the interleaved format (test oracle).
+// Host reference decoder for the interleaved format v2 (test oracle).
 int32_t mlic_rans16_decode_interleaved(
     const uint16_t* words, const int64_t* lane_begin, int32_t n_lanes,
     const int32_t* indexes, int64_t n, const int32_t* cdfs, int64_t cdf_stride,
-    const int32_t* cdf_lengths, const int32_t* offsets, int32_t* out_symbols) {
+    const int32_t* cdf_lengths, const int32_t* offsets,
+    const int32_t* esc_values, int64_t esc_count, int32_t* out_symbols) {
   std::vector<uint32_t> x(n_lanes);
   std::vector<int64_t> ptr(n_lanes);
   for (int32_t l = 0; l < n_lanes; ++l) {
@@ -348,19 +351,7 @@ int32_t mlic_rans16_decode_interleaved(
     x[l] = (static_cast<uint32_t>(words[b]) << 16) | words[b + 1];
     ptr[l] = b + 2;
   }
-  auto renorm = [&](int32_t l) {
-    if (x[l] < kRans16L) {
-      x[l] = (x[l] << 16) | words[ptr[l]++];
-    }
-  };
-  auto bypass5 = [&](int32_t l) -> uint32_t {
-    uint32_t cf = x[l] & 0xFFFF;
-    uint32_t s5 = cf >> (kProbBits - kBypassBits);
-    x[l] = kBypassFreq * (x[l] >> kProbBits) + cf -
-           (s5 << (kProbBits - kBypassBits));
-    renorm(l);
-    return s5;
-  };
+  int64_t e = 0;
   for (int64_t p = 0; p < n; ++p) {
     const int32_t l = static_cast<int32_t>(p % n_lanes);
     const int32_t i = indexes[p];
@@ -371,23 +362,15 @@ int32_t mlic_rans16_decode_interleaved(
     const int32_t slot = find_symbol(cdf, len - 1, cf);
     x[l] = static_cast<uint32_t>(cdf[slot + 1] - cdf[slot]) * (x[l] >> kProbBits)
            + cf - static_cast<uint32_t>(cdf[slot]);
-    renorm(l);
-    int64_t value;
-    if (slot == max_value) {
-      uint64_t u = 0;
-      int shift = 0;
-      uint32_t s5;
-      do {
-        s5 = bypass5(l);
-        u |= static_cast<uint64_t>(s5 & 0xF) << shift;
-        shift += 4;
-      } while ((s5 & 0x10) && shift < 68);
-      value = (u & 1) ? -static_cast<int64_t>((u + 1) >> 1)
-                      : static_cast<int64_t>(u >> 1) + max_value;
-    } else {
-      value = slot;
+    if (x[l] < kRans16L) {
+      x[l] = (x[l] << 16) | words[ptr[l]++];
     }
-    out_symbols[p] = static_cast<int32_t>(value + offsets[i]);
+    if (slot == max_value) {
+      if (e >= esc_count) return -3;
+      out_symbols[p] = esc_values[e++];
+    } else {
+      out_symbols[p] = slot + offsets[i];
+    }
   }
   return 0;
 }

@@ -448,7 +448,8 @@ class MLICPlusPlus(nn.Module):
         return x_hat, y_hat
 
     def codec_device_pass(self, z_symbols, words, lane_begin, tables,
-                          scale, n_lanes: int, n_steps: int = 12, z_qs=1.0):
+                          scale, n_lanes: int, n_steps: int = 12, z_qs=1.0,
+                          esc_values=None, esc_begin=None):
         """Single-program decompress with ON-DEVICE interleaved rANS.
 
         The reference crosses device->host twice per slice to run its C++
@@ -467,6 +468,8 @@ class MLICPlusPlus(nn.Module):
             (row id = n_rows-1).
           scale: VBR gain (1.0 fixed-rate).
           n_steps: static bisection depth for the parametric path.
+          esc_values/esc_begin: int32 escape side channel (concatenated
+            values + per-image offsets; stream format v2).
         Returns: (x_hat, y_hat)
         """
         from mlic_tpu.entropy.device_rans import make_decoder
@@ -481,7 +484,7 @@ class MLICPlusPlus(nn.Module):
         hyper_params = self.h_s(z_hat)
         _, hyper_means = self._chunk2(hyper_params)
 
-        init, decode = make_decoder(words, n_steps)
+        init, decode = make_decoder(words, n_steps, esc_values, esc_begin)
         carry = init(lane_begin)
 
         def phase(carry, squeeze, unsqueeze, scales, means):

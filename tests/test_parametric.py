@@ -79,11 +79,13 @@ def test_parametric_device_decode_roundtrip():
     sym[100:110] = 0
 
     stream = coder.encode_interleaved(sym, idx, n_lanes, table, lengths, offsets)
-    words_np, begin_np = coder.parse_interleaved(stream)
+    words_np, begin_np, esc_np = coder.parse_interleaved(stream)
+    assert len(esc_np) == 3  # the three out-of-support symbols
     tables = dr.parametric_device_tables(params, lengths, offsets)
     n_steps = pmt.bisect_steps(lengths)
-    init, decode = dr.make_decoder(jnp.asarray(words_np.astype(np.int32)),
-                                   n_steps)
+    init, decode = dr.make_decoder(
+        jnp.asarray(words_np.astype(np.int32)), n_steps,
+        esc_values=jnp.asarray(np.concatenate([esc_np, [0]]).astype(np.int32)))
 
     @jax.jit
     def run(begin, indexes):
@@ -109,10 +111,11 @@ def test_parametric_matches_host_oracle_decode():
     host = coder.decode_interleaved(stream, idx, table, lengths, offsets)
     np.testing.assert_array_equal(host, sym)
 
-    words_np, begin_np = coder.parse_interleaved(stream)
+    words_np, begin_np, esc_np = coder.parse_interleaved(stream)
     tables = dr.parametric_device_tables(params, lengths, offsets)
-    init, decode = dr.make_decoder(jnp.asarray(words_np.astype(np.int32)),
-                                   pmt.bisect_steps(lengths))
+    init, decode = dr.make_decoder(
+        jnp.asarray(words_np.astype(np.int32)), pmt.bisect_steps(lengths),
+        esc_values=jnp.asarray(np.concatenate([esc_np, [0]]).astype(np.int32)))
 
     @jax.jit
     def run(begin, indexes):
