@@ -42,16 +42,18 @@ from mlic_tpu.entropy.rans import (
 from mlic_tpu.models.mlicpp import MLICPlusPlus
 
 
-def _bucket(n: int, minimum: int = 1 << 14) -> int:
-    """Pad a buffer length to quarter-power-of-2 buckets: <= 25% upload
-    waste with at most 4 compilations per octave (the round-1 pow2 buckets
-    wasted up to 2x upload bytes on the axon tunnel)."""
-    n = max(n, minimum)
-    p = 1 << (max(n, 2) - 1).bit_length()  # next pow2 >= n
-    for frac in (p // 2 + p // 8, p // 2 + p // 4, p // 2 + 3 * (p // 8)):
-        if n <= frac:
-            return frac
-    return p
+def _bucket(n: int, minimum: int = 1 << 16, headroom: float = 1.25) -> int:
+    """Pad a buffer length to the next power of 2 above ``n * headroom``:
+    ONE decode-program shape per octave, chosen so streams hovering just
+    under a boundary don't flip buckets batch-to-batch.  Finer buckets
+    (quarter-pow2, round 1) saved <= 25% upload bytes but let consecutive
+    batches straddle bucket boundaries, each flip costing a full XLA
+    compile in the decode hot loop — measured 6.8 -> 0.8 img/s on the Kodak
+    bench.  Upload waste is bounded by ~2.5x of the actual stream (sub-ms at
+    trained-weight rates); a recompile is tens of seconds.  Callers also
+    ratchet the result (never shrink) so a session converges to one shape."""
+    n = max(int(n * headroom), minimum)
+    return 1 << (max(n, 2) - 1).bit_length()
 
 
 class _ExchangeState:
@@ -111,6 +113,10 @@ class Codec:
         self._vr = bool(getattr(model.cfg, "vr_entbttlnck", False))
         self._zqs_cache: dict[tuple, float] = {}
         self._eb_cache: dict[float, tuple] = {}
+        # Decode upload-buffer ratchets: bucket sizes never shrink, so the
+        # jitted decode program converges to one shape per session.
+        self._words_bucket = 0
+        self._esc_bucket = 0
 
         self._analyze = jax.jit(
             lambda p, x, zqs: model.apply({"params": p}, x, zqs,
@@ -408,11 +414,13 @@ class Codec:
                 esc_begins.append(esc_off)
                 esc_off += len(esc)
             words = np.concatenate(words_list)
-            padded = np.zeros(_bucket(len(words)), np.int32)
+            self._words_bucket = max(self._words_bucket, _bucket(len(words)))
+            padded = np.zeros(self._words_bucket, np.int32)
             padded[:len(words)] = words
             lane_begin = np.concatenate(begins).astype(np.int32)
-            esc_values = np.zeros(_bucket(max(esc_off, 1), minimum=1024),
-                                  np.int32)
+            self._esc_bucket = max(self._esc_bucket,
+                                   _bucket(max(esc_off, 1), minimum=1024))
+            esc_values = np.zeros(self._esc_bucket, np.int32)
             if esc_off:
                 esc_values[:esc_off] = np.concatenate(escs)
             x_hat, y_hat = self._device_pass(

@@ -66,12 +66,13 @@ class ImageFolderDataset:
     def __init__(self, root: str, patch_size: int = 256,
                  resize_logrange: float = 0.0,
                  process_index: int = 0, process_count: int = 1,
-                 seed: int = 0):
+                 seed: int = 0, augment: str | None = None):
         self.files = list_images(root)[process_index::process_count]
         if not self.files:
             raise FileNotFoundError(f"no images under {root}")
         self.patch = patch_size
         self.resize_logrange = resize_logrange
+        self.augment = augment  # None | "autoaugment" (reference train.py:82)
         self.rng = np.random.default_rng(seed + process_index)
 
     def __len__(self):
@@ -83,6 +84,9 @@ class ImageFolderDataset:
         out = np.empty((batch_size, self.patch, self.patch, 3), np.float32)
         for i, j in enumerate(idx):
             img = load_image(self.files[int(j)])
+            if self.augment == "autoaugment":
+                from mlic_tpu.data.autoaugment import autoaugment
+                img = autoaugment(img, self.rng)
             out[i] = random_resize_crop(img, self.patch, self.rng,
                                         self.resize_logrange).astype(np.float32) / 255.0
         return out
@@ -110,6 +114,74 @@ class ImageFolderDataset:
                 yield item
         finally:
             stop.set()
+
+
+def dead_leaves_pool(n_images: int, size: int, seed: int = 0,
+                     n_disks: int = 180,
+                     cache_dir: str | None = None) -> np.ndarray:
+    """Procedural 'dead leaves' image pool: occluding random disks with a
+    power-law radius distribution — the classic natural-image surrogate
+    (scale-invariant statistics, sharp occlusion edges), far harder to
+    code than smooth gradients.  Used when no dataset is mounted so RD
+    curves reflect a nontrivial source.  Returns uint8 [n, size, size, 3].
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get("MLIC_POOL_CACHE", "/tmp/mlic_pool_cache")
+    cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cache_dir, f"dl_{n_images}_{size}_{seed}_{n_disks}.npz")
+        if os.path.exists(cache):
+            return np.load(cache)["pool"]
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    pool = np.empty((n_images, size, size, 3), np.uint8)
+    r_min, r_max = max(size / 64.0, 2.0), size / 2.0
+    for i in range(n_images):
+        img = np.tile(rng.random(3, dtype=np.float32)[None, None], (size, size, 1))
+        # Inverse-cube radius law ~ scale-invariant leaf sizes.
+        u = rng.random(n_disks, dtype=np.float32)
+        radii = r_min / np.power(1.0 - u * (1.0 - (r_min / r_max) ** 2), 0.5)
+        cx = rng.random(n_disks, dtype=np.float32) * size
+        cy = rng.random(n_disks, dtype=np.float32) * size
+        colors = rng.random((n_disks, 3), dtype=np.float32)
+        # Mild per-disk texture keeps high-frequency content.
+        tex_amp = rng.random(n_disks, dtype=np.float32) * 0.1
+        for d in range(n_disks):
+            mask = (xx - cx[d]) ** 2 + (yy - cy[d]) ** 2 <= radii[d] ** 2
+            if not mask.any():
+                continue
+            tex = tex_amp[d] * np.sin(
+                0.5 * (xx[mask] * np.float32(rng.random() * 0.3)
+                       + yy[mask] * np.float32(rng.random() * 0.3)))
+            img[mask] = np.clip(colors[d][None] + tex[:, None], 0.0, 1.0)
+        noise = rng.normal(0.0, 0.01, img.shape).astype(np.float32)
+        pool[i] = np.clip((img + noise) * 255.0, 0, 255).astype(np.uint8)
+    if cache:
+        np.savez_compressed(cache + ".tmp.npz", pool=pool)
+        os.replace(cache + ".tmp.npz", cache)
+    return pool
+
+
+def pool_batches(pool: np.ndarray, batch_size: int, patch: int, steps: int,
+                 seed: int = 0) -> Iterator[np.ndarray]:
+    """Random-crop + random-hflip batches from an in-memory uint8 pool
+    (the synthetic stand-in for ImageFolderDataset's crop/flip pipeline)."""
+    rng = np.random.default_rng(seed)
+    n, h, w, _ = pool.shape
+    for _ in range(steps):
+        idx = rng.integers(0, n, size=batch_size)
+        ys = rng.integers(0, max(h - patch, 0) + 1, size=batch_size)
+        xs = rng.integers(0, max(w - patch, 0) + 1, size=batch_size)
+        flip = rng.random(batch_size) < 0.5
+        out = np.empty((batch_size, patch, patch, 3), np.float32)
+        for b in range(batch_size):
+            crop = pool[idx[b], ys[b]:ys[b] + patch, xs[b]:xs[b] + patch]
+            if flip[b]:
+                crop = crop[:, ::-1]
+            out[b] = crop.astype(np.float32) / 255.0
+        yield out
 
 
 def synthetic_batches(batch_size: int, patch: int, steps: int,

@@ -123,11 +123,18 @@ def evaluate_codec_vbr(codec: Codec, images, save_dir: str,
 
 
 def evaluate_codec(codec: Codec, images: Iterable[np.ndarray], save_dir: str,
-                   s: Optional[int] = None, log=print) -> dict:
-    """Round-trip every image through a real file; average metrics."""
+                   s: Optional[int] = None, log=print,
+                   extra_metrics: Optional[dict] = None) -> dict:
+    """Round-trip every image through a real file; average metrics.
+
+    ``extra_metrics``: optional {name: fn(x_hat, img) -> float} — e.g.
+    LPIPS/DISTS from :mod:`mlic_tpu.perceptual_metrics` (reference
+    ``utils/metrics.py:13-53`` computes both next to PSNR/MS-SSIM).
+    """
     os.makedirs(save_dir, exist_ok=True)
     vbr = s is not None
     sums = {"bpp": 0.0, "psnr": 0.0, "ms_ssim": 0.0, "enc_time": 0.0, "dec_time": 0.0}
+    sums.update({k: 0.0 for k in (extra_metrics or ())})
     n = 0
     for i, img in enumerate(images):
         img = np.asarray(img, np.float32)
@@ -147,6 +154,8 @@ def evaluate_codec(codec: Codec, images: Iterable[np.ndarray], save_dir: str,
         sums["ms_ssim"] += m
         sums["enc_time"] += enc["enc_time"]
         sums["dec_time"] += dec["dec_time"]
+        for name, fn in (extra_metrics or {}).items():
+            sums[name] += float(fn(x_hat, img))
         n += 1
         log(f"[{i}] bpp={enc['bpp']:.4f} psnr={p:.3f} ms-ssim={m:.5f} "
             f"enc={enc['enc_time']*1e3:.1f}ms dec={dec['dec_time']*1e3:.1f}ms")

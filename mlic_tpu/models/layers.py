@@ -30,8 +30,9 @@ class DepthwiseSeparableConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        x = nn.Conv(in_ch, (self.kernel_size, self.kernel_size),
-                    strides=(self.stride, self.stride), padding="SAME",
+        k = self.kernel_size
+        x = nn.Conv(in_ch, (k, k), strides=(self.stride, self.stride),
+                    padding=((k // 2, k // 2), (k // 2, k // 2)),
                     feature_group_count=in_ch, dtype=self.dtype,
                     name="depth")(x)
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="point")(x)
@@ -43,8 +44,8 @@ def conv1x1(features: int, stride: int = 1, dtype=None, name=None) -> nn.Module:
 
 
 def conv5x5(features: int, stride: int = 2, dtype=None, name=None) -> nn.Module:
-    return nn.Conv(features, (5, 5), strides=(stride, stride), padding="SAME",
-                   dtype=dtype, name=name)
+    return nn.Conv(features, (5, 5), strides=(stride, stride),
+                   padding=((2, 2), (2, 2)), dtype=dtype, name=name)
 
 
 class Conv3x3(nn.Module):
@@ -61,7 +62,8 @@ class Conv3x3(nn.Module):
             return DepthwiseSeparableConv(self.features, 3, self.stride,
                                           dtype=self.dtype, name="dw")(x)
         return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                       padding="SAME", dtype=self.dtype, name="conv")(x)
+                       padding=((1, 1), (1, 1)), dtype=self.dtype,
+                       name="conv")(x)
 
 
 def deconv5x5(features: int, stride: int = 2, dtype=None, name=None) -> nn.Module:

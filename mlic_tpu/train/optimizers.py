@@ -53,6 +53,36 @@ def make_optimizer(
     return optax.multi_transform({"main": main, "aux": aux}, param_labels)
 
 
+def freeze(tx: optax.GradientTransformation,
+           pattern: str) -> optax.GradientTransformation:
+    """Zero the updates of every parameter whose flax path matches ``pattern``
+    (regex, searched against e.g. ``"['g_a']['conv_0']['kernel']"``).
+
+    Equivalent of the reference's ``frezze_some_layers`` requires_grad=False
+    loop (``MLIC++/models/mlicpp_small_decoder.py:508-517``): frozen leaves
+    keep their values; optimizer state still exists but their update is
+    masked to zero inside the fused step.
+    """
+    import re
+
+    rx = re.compile(pattern)
+
+    def mask_like(updates):
+        def m(path, u):
+            return jax.numpy.zeros_like(u) if rx.search(
+                jax.tree_util.keystr(path)) else u
+        return jax.tree_util.tree_map_with_path(m, updates)
+
+    def init(params):
+        return tx.init(params)
+
+    def update(grads, state, params=None):
+        updates, state = tx.update(grads, state, params)
+        return mask_like(updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def multistep_lr(base_lr: float, milestones: Sequence[int], gamma: float = 0.1):
     """torch MultiStepLR equivalent as an optax schedule (step-indexed)."""
     return optax.piecewise_constant_schedule(

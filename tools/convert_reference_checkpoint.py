@@ -172,12 +172,14 @@ def build_mapping(cfg) -> list:
 
     # Entropy bottleneck (compressai): handles both naming generations.
     for k in range(4 + 1):
-        for t_name, f_name in ((f"_matrix{k}", f"matrix_{k}"),
-                               (f"matrices.{k}", f"matrix_{k}"),
-                               (f"_bias{k}", f"bias_{k}"),
-                               (f"biases.{k}", f"bias_{k}"),
-                               (f"_factor{k}", f"factor_{k}"),
-                               (f"factors.{k}", f"factor_{k}")):
+        pairs = [(f"_matrix{k}", f"matrix_{k}"),
+                 (f"matrices.{k}", f"matrix_{k}"),
+                 (f"_bias{k}", f"bias_{k}"),
+                 (f"biases.{k}", f"bias_{k}")]
+        if k < 4:  # factors exist between layers only
+            pairs += [(f"_factor{k}", f"factor_{k}"),
+                      (f"factors.{k}", f"factor_{k}")]
+        for t_name, f_name in pairs:
             rows.append((f"entropy_bottleneck.{t_name}",
                          ("entropy_bottleneck", f_name), IDENT))
     rows.append(("entropy_bottleneck.quantiles",
@@ -232,6 +234,11 @@ def build_mapping(cfg) -> list:
         rows.append(("Gain", ("Gain",), IDENT))
         for k in range(3):
             rows += _linear(f"QuantABCD.{2 * k}", (f"qabcd_{k}",))
+        if getattr(cfg, "vr_entbttlnck", False):
+            # gayn2zqstep Linear(1,10)-ReLU-Linear(10,10)-ReLU-Linear(10,1)
+            # -Softplus (reference mlicpp_vbr.py:104-117)
+            for k in range(3):
+                rows += _linear(f"gayn2zqstep.{2 * k}", (f"zqstep_{k}",))
     return rows
 
 
@@ -261,11 +268,15 @@ def convert(state_dict: dict, cfg, strict: bool = False) -> tuple[dict, list, li
             matched.append(t_key)
         else:
             missing.append(t_key)
+    # Keys that are rebuilt (CDF tables) or constants (lower-bound/reparam
+    # buffers) rather than converted.
+    _SKIP = ("gaussian_conditional", "_cdf", "_offset", "scale_table",
+             "target", "_quantized", "pedestal", ".bound", "QuantOffset",
+             "relative_position_index")  # Swin index buffer: iota-derived
+    matched_set = set(matched)
     leftovers = [k for k in state_dict
-                 if k not in matched and "gaussian_conditional" not in k
-                 and "_cdf" not in k and "_offset" not in k
-                 and "scale_table" not in k and "target" not in k
-                 and "_quantized" not in k]
+                 if k not in matched_set
+                 and not any(s in k for s in _SKIP)]
     if strict and leftovers:
         raise KeyError(f"unconverted reference keys: {leftovers[:10]} ...")
     return params, matched, leftovers

@@ -53,8 +53,13 @@ def main(argv=None):
 
     fwd = jax.jit(lambda p, v: model.apply({"params": p}, v, False))
 
+    # Per-process shard of the image list; results are gathered to host 0
+    # (reference dist.gather_object, compression_trainer.py:844-878).
+    files_all = list_images(args.dataset)
+    pid, pcount = jax.process_index(), jax.process_count()
+
     rows = []
-    for path in list_images(args.dataset):
+    for path in files_all[pid::pcount]:
         img = load_image(path).astype(np.float32) / 255.0
         padded, hw = pad_to_multiple(img[None])
         out = fwd(params, jnp.asarray(padded))
@@ -70,11 +75,38 @@ def main(argv=None):
         })
         print(rows[-1])
 
+    if pcount > 1:
+        from mlic_tpu.parallel.mesh import process_allgather
+        rows = gather_rows(rows, files_all, pid, pcount, process_allgather)
+        if pid != 0:
+            return
+
     with open(args.out, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=["name", "bpp", "psnr", "ms_ssim"])
         writer.writeheader()
         writer.writerows(rows)
     print(f"wrote {len(rows)} rows to {args.out}")
+
+
+def gather_rows(rows, files_all, pid, pcount, allgather):
+    """Gather per-process numeric stats to every host and rebuild the full
+    row list.  Names are NOT transmitted: every process derives the same
+    round-robin file sharding, so host 0 reconstructs who measured what.
+    Shards may differ in length by one; rows are nan-padded to align."""
+    import numpy as np
+
+    maxn = (len(files_all) + pcount - 1) // pcount
+    vals = np.full((maxn, 3), np.nan, np.float32)
+    for i, r in enumerate(rows):
+        vals[i] = (r["bpp"], r["psnr"], r["ms_ssim"])
+    gathered = np.asarray(allgather(vals))  # [pcount, maxn, 3]
+    out = []
+    for p in range(pcount):
+        names = [os.path.basename(f) for f in files_all[p::pcount]]
+        for i, name in enumerate(names):
+            b, ps, ms = (float(x) for x in gathered[p, i])
+            out.append({"name": name, "bpp": b, "psnr": ps, "ms_ssim": ms})
+    return out
 
 
 if __name__ == "__main__":

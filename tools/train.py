@@ -22,6 +22,16 @@ def parse_args(argv=None):
     p.add_argument("--dataset", default=None, help="training image folder")
     p.add_argument("--test-dataset", default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--augment", default=None, choices=["autoaugment"],
+                   help="extra augmentation for --dataset training "
+                        "(reference AutoAugment, train.py:82)")
+    p.add_argument("--synthetic-kind", default="waves",
+                   choices=["waves", "dead_leaves"],
+                   help="dataset-free source: smooth waves (smoke tests) or "
+                        "a dead-leaves pool (natural-image surrogate for RD)")
+    p.add_argument("--pool-size", type=int, default=512,
+                   help="dead-leaves pool: number of pre-rendered images")
+    p.add_argument("--pool-image-size", type=int, default=320)
     p.add_argument("--exp-name", default="mlic_tpu")
     p.add_argument("--lambda", dest="lmbda", type=float, default=0.0483)
     p.add_argument("--metrics", default="mse",
@@ -39,12 +49,44 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-dir", default="./ckpts")
     p.add_argument("--ckpt-every", type=int, default=5000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--pretrained", default=None,
+                   help="orbax checkpoint dir to warm-start params from "
+                        "(partial, shape-filtered load; reference "
+                        "train.py --pretrained + load_matching_state_dict)")
+    p.add_argument("--freeze", default=None,
+                   help="regex over flax param paths; matching params are "
+                        "frozen (reference frezze_some_layers)")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="run full-image validation every N steps (0=off)")
+    p.add_argument("--val-images", type=int, default=4)
+    p.add_argument("--save-recon", action="store_true",
+                   help="save validation reconstruction PNGs")
+    p.add_argument("--patch-milestones", nargs="*", default=[],
+                   help="STEP:SIZE pairs; at STEP, switch the training patch "
+                        "size (reference two-stage 256->512 recipe)")
     p.add_argument("--vbr", action="store_true", help="VBR multi-rate (MGDA) training")
     p.add_argument("--dual", action="store_true",
                    help="two-pass recompression training (train_one_epoch_dual)")
     p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     return p.parse_args(argv)
+
+
+def _patch_schedule(args) -> list:
+    """[(start_step_exclusive, patch_size), ...] sorted; first entry step 0."""
+    sched = [(0, args.patch_size)]
+    for item in args.patch_milestones:
+        s, sz = item.split(":")
+        sched.append((int(s), int(sz)))
+    return sorted(sched)
+
+
+def _patch_at(sched: list, step: int) -> int:
+    size = sched[0][1]
+    for s, sz in sched:
+        if step >= s:
+            size = sz
+    return size
 
 
 def main(argv=None):
@@ -54,12 +96,15 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from mlic_tpu.data.folder import ImageFolderDataset, synthetic_batches
     from mlic_tpu.models.registry import get_model
     from mlic_tpu.parallel import mesh as pmesh
-    from mlic_tpu.train.trainer import TrainConfig, create_train_state, make_train_step
-    from mlic_tpu.utils.checkpoint import CheckpointManager
+    from mlic_tpu.train.trainer import (TrainConfig, create_train_state,
+                                        make_eval_step, make_train_step)
+    from mlic_tpu.utils.checkpoint import CheckpointManager, load_matching
+    from mlic_tpu.utils.logger import MetricsWriter
 
     model = get_model(args.model)
     cfg = TrainConfig(
@@ -70,6 +115,9 @@ def main(argv=None):
 
     shape = (args.batch_size, args.patch_size, args.patch_size, 3)
     state, tx = create_train_state(model, cfg, input_shape=shape)
+    if args.freeze:
+        from mlic_tpu.train.optimizers import freeze
+        tx = freeze(tx, args.freeze)
     if args.vbr:
         from mlic_tpu.train.vbr import make_vbr_train_step
         step_fn = make_vbr_train_step(model, tx, cfg)
@@ -79,11 +127,15 @@ def main(argv=None):
     else:
         step_fn = make_train_step(model, tx, cfg)
 
-    mesh = pmesh.make_mesh()
-    state = pmesh.replicate(state, mesh)
-
-    ckpt = CheckpointManager(os.path.join(args.ckpt_dir, args.exp_name))
+    work_dir = os.path.join(args.ckpt_dir, args.exp_name)
+    ckpt = CheckpointManager(work_dir)
     start_step = 0
+    if args.pretrained:
+        import orbax.checkpoint as ocp
+        raw = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.pretrained))
+        state = state.replace(params=load_matching(state.params, raw["params"]))
+        print(f"warm-started params from {args.pretrained}")
     if args.resume:
         tag = ckpt.latest_tag()
         if tag:
@@ -91,30 +143,104 @@ def main(argv=None):
             start_step = int(jax.device_get(state.step))
             print(f"resumed from step {start_step}")
 
-    if args.synthetic or not args.dataset:
-        batches = synthetic_batches(args.batch_size, args.patch_size,
-                                    args.steps - start_step, seed=args.seed)
-    else:
-        ds = ImageFolderDataset(args.dataset, args.patch_size,
-                                process_index=jax.process_index(),
-                                process_count=jax.process_count(), seed=args.seed)
-        batches = ds.batches(args.batch_size, args.steps - start_step)
+    mesh = pmesh.make_mesh()
+    state = pmesh.replicate(state, mesh)
+    writer = MetricsWriter(os.path.join(work_dir, "logs"))
 
+    sched = _patch_schedule(args)
+    pool = None
+    if (args.synthetic or not args.dataset) and args.synthetic_kind == "dead_leaves":
+        from mlic_tpu.data.folder import dead_leaves_pool
+        print(f"rendering dead-leaves pool ({args.pool_size} x "
+              f"{args.pool_image_size}^2)...", flush=True)
+        pool = dead_leaves_pool(args.pool_size, args.pool_image_size,
+                                seed=args.seed)
+
+    def make_batches(patch: int, n_steps: int, seed: int):
+        if args.synthetic or not args.dataset:
+            if pool is not None:
+                from mlic_tpu.data.folder import pool_batches
+                return pool_batches(pool, args.batch_size, patch, n_steps,
+                                    seed=seed + 1)
+            return synthetic_batches(args.batch_size, patch, n_steps, seed=seed)
+        ds = ImageFolderDataset(args.dataset, patch,
+                                process_index=jax.process_index(),
+                                process_count=jax.process_count(), seed=seed,
+                                augment=args.augment)
+        return ds.batches(args.batch_size, n_steps)
+
+    # Validation set: held-out full images (test dataset if given, else a
+    # disjoint-seed synthetic pool), reference testing.py:107-201.
+    val_images = []
+    if args.val_every:
+        if args.test_dataset:
+            from mlic_tpu.data.folder import list_images, load_image
+            from mlic_tpu.eval import pad_to_multiple
+            for p in list_images(args.test_dataset)[:args.val_images]:
+                img, _ = pad_to_multiple(
+                    load_image(p).astype(np.float32)[None] / 255.0)
+                val_images.append(img)
+        elif pool is not None:
+            from mlic_tpu.data.folder import dead_leaves_pool
+            vp = dead_leaves_pool(args.val_images, args.pool_image_size,
+                                  seed=args.seed + 7919)
+            val_images = [vp[i].astype(np.float32) / 255.0
+                          for i in range(len(vp))]
+        else:
+            val_images = [np.stack(list(synthetic_batches(
+                1, 256, 1, seed=args.seed + 7919 + i)))[0, 0]
+                for i in range(args.val_images)]
+    eval_step = make_eval_step(model, cfg) if args.val_every else None
+
+    def validate(step: int):
+        rows = []
+        for i, img in enumerate(val_images):
+            x = jnp.asarray(img[None] if img.ndim == 3 else img)
+            out = eval_step(state.params, x)
+            rows.append((float(out["psnr"]), float(out["bpp_loss"])))
+            if args.save_recon:
+                from PIL import Image
+                rec = np.clip(np.asarray(out["x_hat"][0]) * 255.0 + 0.5,
+                              0, 255).astype(np.uint8)
+                d = os.path.join(work_dir, "val")
+                os.makedirs(d, exist_ok=True)
+                Image.fromarray(rec).save(
+                    os.path.join(d, f"step{step}_img{i}.png"))
+        mean_psnr = sum(r[0] for r in rows) / max(len(rows), 1)
+        mean_bpp = sum(r[1] for r in rows) / max(len(rows), 1)
+        for i, (p, b) in enumerate(rows):
+            print(f"  val[{i}] psnr={p:.3f} bpp={b:.4f}")
+        print(f"val @ {step}: psnr={mean_psnr:.3f} bpp={mean_bpp:.4f}",
+              flush=True)
+        writer.write(step, {"psnr": mean_psnr, "bpp": mean_bpp}, prefix="val/")
+
+    step = start_step
     t0 = time.perf_counter()
-    for i, batch in enumerate(batches):
-        sharded = pmesh.shard_batch(jnp.asarray(batch), mesh)
-        state, metrics = step_fn(state, sharded)
-        step = start_step + i + 1
-        if step % args.log_freq == 0:
-            vals = {k: float(v) for k, v in metrics.items()
-                    if getattr(v, "ndim", 0) == 0}
-            dt = (time.perf_counter() - t0) / args.log_freq
-            print(f"step {step} | {dt*1e3:.0f} ms/it | " +
-                  " ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items())))
-            t0 = time.perf_counter()
-        if step % args.ckpt_every == 0 or step == args.steps:
-            ckpt.save(str(step), state, loss=float(metrics["loss"]))
-            print(f"saved checkpoint_{step}")
+    while step < args.steps:
+        patch = _patch_at(sched, step)
+        # run until the next patch milestone (static shapes: one jit per size)
+        nxt = min([s for s, _ in sched if s > step] + [args.steps])
+        seg = make_batches(patch, nxt - step, args.seed + step)
+        for batch in seg:
+            sharded = pmesh.shard_batch(jnp.asarray(batch), mesh)
+            state, metrics = step_fn(state, sharded)
+            step += 1
+            if step % args.log_freq == 0:
+                vals = {k: float(v) for k, v in metrics.items()
+                        if getattr(v, "ndim", 0) == 0}
+                dt = (time.perf_counter() - t0) / args.log_freq
+                print(f"step {step} | {dt*1e3:.0f} ms/it | " +
+                      " ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items())),
+                      flush=True)
+                writer.write(step, vals, prefix="train/")
+                t0 = time.perf_counter()
+            if args.val_every and step % args.val_every == 0:
+                validate(step)
+                t0 = time.perf_counter()
+            if step % args.ckpt_every == 0 or step == args.steps:
+                ckpt.save(str(step), state, loss=float(metrics["loss"]))
+                print(f"saved checkpoint_{step}", flush=True)
+    writer.close()
 
 
 if __name__ == "__main__":
