@@ -54,6 +54,21 @@ def main():
     jax.block_until_ready(params)
     vlog(f"init: {time.perf_counter()-t:.1f}s")
 
+    # Trained weights if available: BENCH_CKPT env, else the repo's default
+    # bench checkpoint (escape-heavy random-init streams are ~10x the rate
+    # of trained ones and unrepresentative of deployment).
+    default_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "ckpts", "bench_default")
+    ckpt = os.environ.get("BENCH_CKPT",
+                          default_ckpt if os.path.isdir(default_ckpt) else "")
+    if ckpt:
+        import orbax.checkpoint as ocp
+
+        from mlic_tpu.utils.checkpoint import load_matching
+        raw = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+        params = load_matching(params, raw.get("params", raw))
+        vlog(f"loaded checkpoint {ckpt}")
+
     codec = Codec(model, params, backend=backend, n_lanes=n_lanes)
     t = time.perf_counter()
     codec.update()
@@ -93,9 +108,9 @@ def main():
         "value": round(imgs_per_sec, 4),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 20.0, 4),
-        "extra": {"bpp_random_init": round(bpp, 4), "n_images": n,
-                  "batch": batch, "backend": backend,
-                  "device": str(jax.devices()[0])},
+        "extra": {("bpp" if ckpt else "bpp_random_init"): round(bpp, 4),
+                  "n_images": n, "batch": batch, "backend": backend,
+                  "ckpt": bool(ckpt), "device": str(jax.devices()[0])},
     }
     print(json.dumps(result))
 

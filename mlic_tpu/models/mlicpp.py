@@ -459,8 +459,10 @@ class MLICPlusPlus(nn.Module):
         zero host involvement on the critical path.
 
         Args:
-          z_symbols: int32 [B,h/4,w/4,N].
-          words: int32 [W] concatenated 16-bit stream words (all images).
+          z_symbols: int16 (or int32) [B,h/4,w/4,N]; int16 halves the upload.
+          words: uint16 [W] concatenated stream words (all images); widened
+            to int32 on device — the axon tunnel uploads at ~32 MB/s, so
+            buffer bytes are latency.
           lane_begin: int32 [B*n_lanes] per-lane word offsets into ``words``.
           tables: decode-table dict — ``device_rans.parametric_device_tables``
             (gather-free analytic cdf path) or ``device_rans.device_tables``
@@ -479,6 +481,8 @@ class MLICPlusPlus(nn.Module):
         scale = jnp.asarray(scale, jnp.float32)
         pad_row = tables["offsets"].shape[0] - 1
         b = z_symbols.shape[0]
+        words = words.astype(jnp.int32)          # one VPU pass, upload stays 2B/word
+        z_symbols = z_symbols.astype(jnp.int32)
 
         z_hat = self._z_hat(z_symbols, z_qs)
         hyper_params = self.h_s(z_hat)
@@ -540,11 +544,13 @@ class MLICPlusPlus(nn.Module):
         backend tests (and decode failures are detectable as reconstruction
         mismatch since the encoder also returns its x_hat).
 
-        Returns (x_hat, y_hat, symbols_concat int16 [B,total],
-        indexes_concat uint8 [B,total], overflow bool) — symbols travel as
-        int16 to halve the download; ``overflow`` flags any |symbol| beyond
-        int16 (essentially impossible with a trained model; the driver falls
-        back to the int32 steps path if set).
+        Returns (x_hat, y_hat, sym16 int16 [B,total], sym8 int8 [B,total],
+        indexes_concat uint8 [B,total], flags int32 [3]) — the axon tunnel
+        downloads at ~11 MB/s, so symbol bytes are the compress bottleneck;
+        the driver downloads ``flags = [sym_over_int16, sym_over_int8,
+        z_over_int16]`` first and then the narrowest safe representation
+        (int8 for every trained model; int16 under random-init escapes;
+        the int32 steps path only for degenerate latents).
         """
         cfg = self.cfg
         C = cfg.slice_ch
@@ -590,9 +596,11 @@ class MLICPlusPlus(nn.Module):
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         x_hat = self.g_s(y_hat)
         sym32 = jnp.concatenate(syms, 1)
-        overflow = jnp.any(jnp.abs(sym32) > 32767)
-        return (x_hat, y_hat, sym32.astype(jnp.int16),
-                jnp.concatenate(idxs, 1), overflow)
+        amax = jnp.max(jnp.abs(sym32))
+        flags = jnp.stack([amax > 32767, amax > 127,
+                           jnp.max(jnp.abs(z_symbols)) > 32767]).astype(jnp.int32)
+        return (x_hat, y_hat, sym32.astype(jnp.int16), sym32.astype(jnp.int8),
+                jnp.concatenate(idxs, 1), flags)
 
     # --------------------- decode-complexity proxy ---------------------
     def net_decoder_forward(self, z_shape_source):

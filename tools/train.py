@@ -69,6 +69,11 @@ def parse_args(argv=None):
                    help="two-pass recompression training (train_one_epoch_dual)")
     p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--transform-dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for g_a/h_a/g_s (TPU mixed precision; "
+                        "entropy path stays fp32 — reference AMP, "
+                        "utils/training.py:44-52)")
     return p.parse_args(argv)
 
 
@@ -107,6 +112,10 @@ def main(argv=None):
     from mlic_tpu.utils.logger import MetricsWriter
 
     model = get_model(args.model)
+    if args.transform_dtype:
+        import dataclasses
+        model = type(model)(cfg=dataclasses.replace(
+            model.cfg, transform_dtype=args.transform_dtype))
     cfg = TrainConfig(
         lmbda=args.lmbda, metric=args.metrics, learning_rate=args.learning_rate,
         aux_learning_rate=args.aux_learning_rate, clip_max_norm=args.clip_max_norm,
