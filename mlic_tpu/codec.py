@@ -22,6 +22,7 @@ numpy, no device round-trips.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Optional
 
@@ -143,6 +144,15 @@ class Codec:
                 lambda p, y, zs, sc, zqs: model.apply(
                     {"params": p}, y, zs, sc, zqs,
                     method=cls.codec_encode_pass))
+            # On-device rANS encode: download ∝ compressed bytes instead of
+            # per-symbol arrays (MLIC_DEVICE_ENCODE=0 restores host encode).
+            from mlic_tpu.entropy.device_rans import encode_interleaved_device
+            self.device_encode = os.environ.get(
+                "MLIC_DEVICE_ENCODE", "1") == "1"
+            n_ph = 2 * model.cfg.slice_num
+            self._rans_encode = jax.jit(
+                lambda sym, idx, tables: encode_interleaved_device(
+                    sym, idx, tables, n_lanes, n_ph))
         if backend == "fused":
             self._fused = jax.jit(
                 lambda p, y, zs, sc, zqs: model.apply(
@@ -210,7 +220,8 @@ class Codec:
         if (parametric.validate_tables(table, lengths)
                 and parametric.self_check(params, table, lengths)):
             self._gc_ext = (table, lengths, offsets)
-            self._dev_tables = parametric_device_tables(params, lengths, offsets)
+            self._dev_tables = parametric_device_tables(params, lengths,
+                                                        offsets, table)
             self._dev_n_steps = parametric.bisect_steps(lengths)
             self.parametric = True
             return
@@ -293,6 +304,45 @@ class Codec:
                 self.params, y, state, jnp.asarray(sym, jnp.int32))
         return self._finish(self.params, state)
 
+    def _download_streams(self, rans: dict, batch: int) -> list[bytes]:
+        """Fetch the device-encoded streams: per-lane metadata (KBs) plus
+        bucket-rounded slices of the word/escape buffers (∝ compressed
+        bytes), then assemble the per-image format-v2 streams on the host
+        — byte-identical to ``coder.encode_interleaved``'s output."""
+        nl = self.n_lanes
+        lane_begin = np.asarray(rans["lane_begin"])
+        lane_n = np.asarray(rans["lane_n"])
+        ecount = np.asarray(rans["ecount"])
+        total = int(lane_begin[-1] + lane_n[-1])
+        etotal = int(ecount.sum())
+        self._enc_words_bucket = min(
+            max(getattr(self, "_enc_words_bucket", 0), _bucket(total)),
+            rans["buf"].shape[0])
+        buf = np.asarray(rans["buf"][:self._enc_words_bucket])
+        if etotal:
+            self._enc_esc_bucket = min(
+                max(getattr(self, "_enc_esc_bucket", 0),
+                    _bucket(etotal, minimum=1024)),
+                rans["ebuf"].shape[0])
+            ebuf = np.asarray(rans["ebuf"][:self._enc_esc_bucket])
+        else:
+            ebuf = np.zeros(0, np.int32)
+        eb = np.concatenate([[0], np.cumsum(ecount)]).astype(np.int64)
+        streams = []
+        for b in range(batch):
+            lo, hi = b * nl, (b + 1) * nl
+            w0 = int(lane_begin[lo])
+            w1 = int(lane_begin[hi - 1] + lane_n[hi - 1])
+            begins = (lane_begin[lo:hi] - w0).astype(np.uint32)
+            header = np.asarray([nl, w1 - w0, int(ecount[b])],
+                                np.uint32).tobytes()
+            body = begins.tobytes() + buf[w0:w1].tobytes()
+            if len(body) % 4:
+                body += b"\x00\x00"
+            streams.append(header + body
+                           + ebuf[eb[b]:eb[b + 1]].astype(np.int32).tobytes())
+        return streams
+
     def _encode_z(self, z_np: np.ndarray, z_qs, batch: int) -> list[bytes]:
         """Factorized-prior coding of z: per-channel CDF rows, per image."""
         eb_cdfs, eb_lengths, eb_offsets, _ = self._eb_for(z_qs)
@@ -331,9 +381,20 @@ class Codec:
             # the z host work while the device computes.
             enc_out = self._encode_pass(self.params, y, z_symbols, scale, z_qs)
             x_hat, y_hat, sym16, sym8, idx, flags = enc_out
+            rans = (self._rans_encode(sym16, idx, self._dev_tables)
+                    if self.device_encode else None)
             flags_np = np.asarray(flags)  # [sym>int16, sym>int8, z>int16]
             z_np = np.asarray(z_symbols if flags_np[2] else z16).astype(np.int32)
             z_strings = self._encode_z(z_np, z_qs, batch)
+            if rans is not None and not flags_np[0]:
+                y_strings = self._download_streams(rans, batch)
+                return {
+                    "strings": [y_strings, z_strings],
+                    "shape": (int(z_np.shape[1]), int(z_np.shape[2])),
+                    "cost_time": time.perf_counter() - t0,
+                    "x_hat": x_hat,
+                    "y_hat": y_hat,
+                }
             if not flags_np[0]:
                 # Narrowest safe symbol download (axon: ~11 MB/s down).
                 sym = np.asarray(sym16 if flags_np[1] else sym8).astype(np.int32)

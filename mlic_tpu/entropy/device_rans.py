@@ -51,6 +51,8 @@ def device_tables(cdfs: np.ndarray, cdf_lengths: np.ndarray,
       lut_slot int32  [n_rows, 2^16]: slot per (row, cf)
       max_value int32 [n_rows]: escape slot id (cdf_length - 2)
       offsets  int32  [n_rows]
+      cdf_rows int32 [n_rows, max_len]: the integer CDF rows themselves
+        (slot-indexed; the on-device ENCODER's start/freq source — tiny)
     """
     cdfs = np.asarray(cdfs, np.int64)
     n = cdfs.shape[0]
@@ -70,21 +72,32 @@ def device_tables(cdfs: np.ndarray, cdf_lengths: np.ndarray,
         "lut_slot": jnp.asarray(lut_slot),
         "max_value": jnp.asarray(np.asarray(cdf_lengths, np.int32) - 2),
         "offsets": jnp.asarray(np.asarray(offsets, np.int32)),
+        "cdf_rows": jnp.asarray(np.asarray(cdfs, np.int32)),
     }
 
 
 def parametric_device_tables(params: np.ndarray, cdf_lengths: np.ndarray,
-                             offsets: np.ndarray):
+                             offsets: np.ndarray,
+                             cdf_rows: np.ndarray | None = None):
     """Gather-free decode tables from ``parametric.gaussian_row_params``.
 
     The returned dict's key structure (presence of ``row_params``) is what
     switches ``make_decoder`` into the parametric bisection path, and the
-    static ``n_steps`` is carried host-side by the codec driver."""
-    return {
+    static ``n_steps`` is carried host-side by the codec driver.
+
+    ``cdf_rows`` (the ``parametric.generate_tables`` output) feeds the
+    on-device ENCODER: slot->start/freq lookups come from the integer table
+    itself, never from a re-evaluation of the float formula in yet another
+    XLA program (a third program's fusion could round a knife-edge entry
+    differently — the exact hazard ``self_check`` pins for the decoder)."""
+    out = {
         "row_params": jnp.asarray(params, jnp.float32),
         "max_value": jnp.asarray(np.asarray(cdf_lengths, np.int32) - 2),
         "offsets": jnp.asarray(np.asarray(offsets, np.int32)),
     }
+    if cdf_rows is not None:
+        out["cdf_rows"] = jnp.asarray(np.asarray(cdf_rows, np.int32))
+    return out
 
 
 def rans_init(words: jax.Array, lane_begin: jax.Array):
@@ -210,3 +223,147 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
         return (x, ptr, new_count), out
 
     return init, decode
+
+
+# ----------------------------------------------------------------------
+# On-device interleaved rANS ENCODE (round 2).
+#
+# The round-1/2 encode downloaded per-symbol (sym, idx) arrays (~6 MB per
+# Kodak batch at ~11 MB/s on the axon tunnel) and ran the C++ encoder on
+# the host.  Encoding on device makes the download proportional to the
+# COMPRESSED size instead: stream words + per-lane offsets + escape values.
+#
+# Structure mirrors rans.cpp's Encoder16 exactly (32-bit state, 16-bit
+# renorm, emission iff x >= freq << 16 — at most ONE word per symbol since
+# x < 2^32 and freq << 16 >= 2^16): a reverse-order lax.scan computes each
+# lane's emissions; forward-order compaction then scatters the emitted
+# words into per-lane contiguous blocks [state_hi, state_lo, words...] —
+# byte-identical to ``coder.encode_interleaved`` (asserted by tests).
+# ----------------------------------------------------------------------
+
+
+def encode_lanes(sym: jax.Array, row: jax.Array, tables: dict):
+    """Lockstep rans16 encode of [S, L] position-ordered symbols.
+
+    Args:
+      sym: int32 [S, L] raw symbol values (step-major, lane-minor — the
+        same position order the decode scan consumes).
+      row: int32 [S, L] CDF row ids.
+      tables: ``parametric_device_tables`` dict (analytic start/freq via
+        ``eval_cdf``) or ``device_tables`` (gathers from the small
+        slot-indexed ``cdf_rows``).
+    Returns:
+      x     uint32 [L] final lane states
+      words uint16 [S, L] emitted renorm word per (step, lane)
+      emits bool   [S, L] emission mask
+      esc   bool   [S, L] escape mask (value out of the row's support)
+    """
+    mv = tables["max_value"][row]
+    off = tables["offsets"][row]
+    v = sym - off
+    esc = (v < 0) | (v >= mv)
+    slot = jnp.where(esc, mv, v)
+    # Always the integer table: exact agreement with the host encoder by
+    # construction (vectorized outside the scan, the rows are ~180 KB —
+    # unlike the decode scan's per-step LUT problem).
+    start = tables["cdf_rows"][row, slot]
+    nxt = tables["cdf_rows"][row, slot + 1]
+    start = start.astype(jnp.uint32)
+    freq = (nxt - start.astype(jnp.int32)).astype(jnp.uint32)
+
+    def step(x, sf):
+        st, fr = sf
+        emit = x >= (fr << 16)
+        word = (x & _MASK16).astype(jnp.uint16)
+        x = jnp.where(emit, x >> 16, x)
+        x = ((x // fr) << PROB_BITS) + (x % fr) + st
+        return x, (word, emit)
+
+    x0 = jnp.full((sym.shape[1],), _RANS_L, jnp.uint32)
+    # reverse=True: last position encoded first (rANS is LIFO), but the
+    # stacked outputs stay in FORWARD step order — which is exactly the
+    # order the per-lane stream stores its renorm words.
+    x, (words, emits) = jax.lax.scan(step, x0, (start, freq), reverse=True)
+    return x, words, emits, esc
+
+
+def compact_streams(x, words, emits, esc, sym, n_images: int):
+    """Scatter per-(step, lane) emissions into per-lane contiguous word
+    blocks + per-image escape side channels (format v2 layout).
+
+    Returns dict of device arrays:
+      buf        uint16 [S*L + 2L + 1] words; lane l occupies
+                 [lane_begin[l], lane_begin[l] + lane_n[l])
+      lane_n     int32 [L] words per lane (incl. 2 state words)
+      lane_begin int32 [L]
+      ebuf       int32 [S*L + 1] escape values, per-image blocks
+      ecount     int32 [n_images]
+    """
+    S, L = emits.shape
+    emits_i = emits.astype(jnp.int32)
+    prefix = jnp.cumsum(emits_i, axis=0) - emits_i       # exclusive, per lane
+    lane_n = jnp.sum(emits_i, axis=0) + 2
+    lane_begin = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lane_n)[:-1].astype(jnp.int32)])
+    cap = S * L + 2 * L
+    pos = jnp.where(emits, lane_begin[None, :] + 2 + prefix, cap)
+    buf = jnp.zeros((cap + 1,), jnp.uint16)
+    buf = buf.at[pos.reshape(-1)].set(words.reshape(-1), mode="drop")
+    buf = buf.at[lane_begin].set((x >> 16).astype(jnp.uint16))
+    buf = buf.at[lane_begin + 1].set((x & _MASK16).astype(jnp.uint16))
+
+    lanes = L // n_images
+    esc_i = esc.reshape(S, n_images, lanes).transpose(1, 0, 2).reshape(n_images, -1)
+    sym_i = sym.reshape(S, n_images, lanes).transpose(1, 0, 2).reshape(n_images, -1)
+    ei = esc_i.astype(jnp.int32)
+    eprefix = jnp.cumsum(ei, axis=1) - ei
+    ecount = jnp.sum(ei, axis=1)
+    ebegin = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ecount)[:-1].astype(jnp.int32)])
+    ecap = S * L
+    epos = jnp.where(esc_i, ebegin[:, None] + eprefix, ecap)
+    ebuf = jnp.zeros((ecap + 1,), jnp.int32)
+    ebuf = ebuf.at[epos.reshape(-1)].set(sym_i.reshape(-1), mode="drop")
+    return {"buf": buf, "lane_n": lane_n, "lane_begin": lane_begin,
+            "ebuf": ebuf, "ecount": ecount}
+
+
+def phase_order(flat: jax.Array, n_lanes: int, pad_row: int,
+                pad_value: int = 0):
+    """[B, n] per-phase values -> [steps, B*n_lanes] position order (the
+    layout both scans consume): pad to a lane multiple, then step-major /
+    image-major / lane-minor."""
+    b, n = flat.shape
+    steps = -(-n // n_lanes)
+    pad = steps * n_lanes - n
+    flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=pad_value)
+    return (flat.reshape(b, steps, n_lanes).transpose(1, 0, 2)
+            .reshape(steps, b * n_lanes))
+
+
+def encode_interleaved_device(sym: jax.Array, idx: jax.Array,
+                              tables: dict, n_lanes: int, n_phases: int):
+    """Full device encode of the codec's concatenated per-phase symbols.
+
+    Args:
+      sym: int32 [B, total] per-image symbols, phases concatenated
+        (``codec_encode_pass`` layout; equal phase sizes).
+      idx: [B, total] CDF row ids (any int dtype).
+      tables: decode-table dict (shared with the decoder).
+      n_lanes: lanes per image; n_phases: static phase count.
+    Returns the ``compact_streams`` dict.
+    """
+    b, total = sym.shape
+    n_per = total // n_phases
+    pad_row = int(tables["offsets"].shape[0] - 1)
+    sym = sym.astype(jnp.int32)
+    idx = idx.astype(jnp.int32)
+    sym_steps = jnp.concatenate(
+        [phase_order(sym[:, k * n_per:(k + 1) * n_per], n_lanes, pad_row, 0)
+         for k in range(n_phases)], axis=0)
+    row_steps = jnp.concatenate(
+        [phase_order(idx[:, k * n_per:(k + 1) * n_per], n_lanes, pad_row,
+                     pad_row)
+         for k in range(n_phases)], axis=0)
+    x, words, emits, esc = encode_lanes(sym_steps, row_steps, tables)
+    return compact_streams(x, words, emits, esc, sym_steps, b)
