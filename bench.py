@@ -44,8 +44,9 @@ def main():
     model = get_model(model_name)
     if os.environ.get("BENCH_BF16", "1") == "1":
         import dataclasses
+        tdt = os.environ.get("BENCH_TDT", "bfloat16")
         model = type(model)(cfg=dataclasses.replace(
-            model.cfg, transform_dtype="bfloat16"))
+            model.cfg, transform_dtype=tdt))
     rng = {"params": jax.random.key(0), "noise": jax.random.key(1)}
     # init at the coding size so no extra compile of g_a at another shape
     x0 = jnp.zeros((batch, h, w, 3), jnp.float32)
@@ -91,13 +92,29 @@ def main():
     jax.block_until_ready(dec["x_hat"])
     vlog(f"decompress warmup: {time.perf_counter()-t:.1f}s")
 
+    # Timed loop, software-pipelined: the NEXT batch's upload is issued
+    # before the current batch is processed (device_put is async, the
+    # transfer overlaps device compute), and decompress dispatches without
+    # blocking so the host's stream parsing/assembly for batch i+1 overlaps
+    # batch i's device decode.  All x_hats are materialized before the
+    # clock stops.  (The reference's cost_time brackets compress() with the
+    # input already resident on the GPU — uploads aren't even counted
+    # there; here they are counted but overlapped, as a serving pipeline
+    # would.)
     t0 = time.perf_counter()
     total_bits = 0
-    for img in images[1:]:
+    x_hats = []
+    dev = jax.devices()[0]
+    pending = jax.device_put(images[1], dev)
+    for k in range(1, n_batches + 1):
+        img = pending
+        if k + 1 <= n_batches:
+            pending = jax.device_put(images[k + 1], dev)
         enc = codec.compress(img)
         total_bits += 8 * sum(len(s) for group in enc["strings"] for s in group)
-        dec = codec.decompress(enc["strings"], enc["shape"])
-        jax.block_until_ready(dec["x_hat"])
+        dec = codec.decompress(enc["strings"], enc["shape"], wait=False)
+        x_hats.append(dec["x_hat"])
+    jax.block_until_ready(x_hats)
     elapsed = time.perf_counter() - t0
     n = n_batches * batch
     imgs_per_sec = n / elapsed

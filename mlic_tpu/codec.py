@@ -451,8 +451,15 @@ class Codec:
         }
 
     # ------------------------------------------------------------------
-    def decompress(self, strings, shape, s: int = 0, inputscale: float = 0.0) -> dict:
-        """strings: [y_strings, z_strings] (one per image); shape: (h/4, w/4)."""
+    def decompress(self, strings, shape, s: int = 0, inputscale: float = 0.0,
+                   wait: bool = True) -> dict:
+        """strings: [y_strings, z_strings] (one per image); shape: (h/4, w/4).
+
+        ``wait=False`` skips the final block_until_ready so callers can
+        pipeline: the device programs are dispatched and the caller overlaps
+        host work (e.g. the next image's stream parsing) with device
+        execution, blocking on ``x_hat`` itself when needed.  ``cost_time``
+        then measures dispatch, not completion."""
         self._require_tables()
         t0 = time.perf_counter()
         scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
@@ -505,7 +512,8 @@ class Codec:
                 jnp.asarray(lane_begin), self._dev_tables, scale,
                 self._dev_n_steps, z_qs, jnp.asarray(esc_values),
                 jnp.asarray(np.asarray(esc_begins, np.int32)))
-            jax.block_until_ready(x_hat)
+            if wait:
+                jax.block_until_ready(x_hat)
             return {"x_hat": x_hat, "y_hat": y_hat,
                     "cost_time": time.perf_counter() - t0}
 
@@ -520,7 +528,7 @@ class Codec:
             dec.set_stream(y_strings[b])
             self._x.decoders.append(dec)
         x_hat, y_hat = self._run_codec(y_zero, z_symbols, scale, z_qs)
-        jax.block_until_ready(x_hat)
+        jax.block_until_ready(x_hat)  # steps backend is host-driven: always sync
         self._x.mode = "idle"
         for dec in self._x.decoders:
             dec.close()

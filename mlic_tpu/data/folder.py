@@ -165,22 +165,27 @@ def dead_leaves_pool(n_images: int, size: int, seed: int = 0,
 
 
 def pool_batches(pool: np.ndarray, batch_size: int, patch: int, steps: int,
-                 seed: int = 0) -> Iterator[np.ndarray]:
+                 seed: int = 0, as_float: bool = False) -> Iterator[np.ndarray]:
     """Random-crop + random-hflip batches from an in-memory uint8 pool
-    (the synthetic stand-in for ImageFolderDataset's crop/flip pipeline)."""
+    (the synthetic stand-in for ImageFolderDataset's crop/flip pipeline).
+
+    Default yields uint8 — 4x fewer upload bytes than float32 (the device
+    normalizes; tools/train.py wraps its step fn accordingly).  The batch
+    RNG stream is identical either way."""
     rng = np.random.default_rng(seed)
     n, h, w, _ = pool.shape
+    dt = np.float32 if as_float else np.uint8
     for _ in range(steps):
         idx = rng.integers(0, n, size=batch_size)
         ys = rng.integers(0, max(h - patch, 0) + 1, size=batch_size)
         xs = rng.integers(0, max(w - patch, 0) + 1, size=batch_size)
         flip = rng.random(batch_size) < 0.5
-        out = np.empty((batch_size, patch, patch, 3), np.float32)
+        out = np.empty((batch_size, patch, patch, 3), dt)
         for b in range(batch_size):
             crop = pool[idx[b], ys[b]:ys[b] + patch, xs[b]:xs[b] + patch]
             if flip[b]:
                 crop = crop[:, ::-1]
-            out[b] = crop.astype(np.float32) / 255.0
+            out[b] = crop.astype(np.float32) / 255.0 if as_float else crop
         yield out
 
 

@@ -46,9 +46,17 @@ def _ssim_components(a, b, kernel, data_range):
     mu_a = _blur(a, kernel)
     mu_b = _blur(b, kernel)
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    sigma_aa = _blur(a * a, kernel) - mu_aa
-    sigma_bb = _blur(b * b, kernel) - mu_bb
+    # E[x^2] - mu^2 cancels catastrophically in f32 on constant regions
+    # (variances come out slightly NEGATIVE, pushing cs above 1 — observed
+    # ms-ssim 1.005 on dead-leaves images with large flat disks).  True
+    # variances are nonnegative; clamp before forming the ratios.
+    sigma_aa = jnp.maximum(_blur(a * a, kernel) - mu_aa, 0.0)
+    sigma_bb = jnp.maximum(_blur(b * b, kernel) - mu_bb, 0.0)
     sigma_ab = _blur(a * b, kernel) - mu_ab
+    # |cov| <= sqrt(var_a * var_b) (Cauchy-Schwarz; f32 rounding can break
+    # it by a hair, which is exactly what makes cs exceed 1).
+    bound = jnp.sqrt(sigma_aa * sigma_bb)
+    sigma_ab = jnp.clip(sigma_ab, -bound, bound)
     cs = (2 * sigma_ab + c2) / (sigma_aa + sigma_bb + c2)
     ssim_map = ((2 * mu_ab + c1) / (mu_aa + mu_bb + c1)) * cs
     return jnp.mean(ssim_map, axis=(1, 2, 3)), jnp.mean(cs, axis=(1, 2, 3))
@@ -80,4 +88,4 @@ def ms_ssim(a: jax.Array, b: jax.Array, data_range: float = 1.0) -> jax.Array:
         if i < len(_MSSSIM_WEIGHTS) - 1:
             a, b = _downsample2(a), _downsample2(b)
     values = jnp.stack(values)
-    return jnp.prod(jnp.maximum(values, 1e-6) ** weights)
+    return jnp.prod(jnp.clip(values, 1e-6, 1.0) ** weights)

@@ -78,11 +78,20 @@ class MLICPlusPlus(nn.Module):
         dec_N = N // 4 if cfg.small_decoder else N
         hyper_M = M // 4 if cfg.small_decoder else M
 
-        tdt = None if cfg.transform_dtype == "float32" else jnp.dtype(cfg.transform_dtype)
-        self.g_a = AnalysisTransform(N=N, M=M, depthwise=enc_dw, dtype=tdt)
+        # "bfloat16_mixed": bf16 transforms with the mixed-GDN policy (the
+        # x^2 @ gamma MXU contraction in bf16 w/ f32 accumulation instead of
+        # casting activations f32 around every GDN — see layers.GDN).
+        tdn = cfg.transform_dtype
+        mixed = tdn == "bfloat16_mixed"
+        tdt = (None if tdn == "float32"
+               else jnp.bfloat16 if mixed else jnp.dtype(tdn))
+        gdt = tdt if mixed else None
+        self.g_a = AnalysisTransform(N=N, M=M, depthwise=enc_dw, dtype=tdt,
+                                     gdn_dtype=gdt)
         self.h_a = HyperAnalysis(M=M, N=N, depthwise=enc_dw, dtype=tdt)
         self.g_s = SynthesisTransform(N=dec_N, M=M, depthwise=dw,
-                                      old_head=cfg.old_synthesis, dtype=tdt)
+                                      old_head=cfg.old_synthesis, dtype=tdt,
+                                      gdn_dtype=gdt)
         # h_s feeds the entropy parameters: stays float32 for coding
         # determinism regardless of transform_dtype.
         self.h_s = HyperSynthesis(M=hyper_M, N=N, depthwise=dw)

@@ -32,17 +32,21 @@ class AnalysisTransform(nn.Module):
     M: int
     depthwise: bool = True
     dtype: jnp.dtype | None = None
+    gdn_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        dw, dt = self.depthwise, self.dtype
+        dw, dt, gdt = self.depthwise, self.dtype, self.gdn_dtype
         if dt is not None:
             x = x.astype(dt)
-        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, name="rbs0")(x)
+        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, gdn_dtype=gdt,
+                                    name="rbs0")(x)
         x = ResidualBlock(self.N, dw, dtype=dt, name="rb0")(x)
-        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, name="rbs1")(x)
+        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, gdn_dtype=gdt,
+                                    name="rbs1")(x)
         x = ResidualBlock(self.N, dw, dtype=dt, name="rb1")(x)
-        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, name="rbs2")(x)
+        x = ResidualBlockWithStride(self.N, 2, dw, dtype=dt, gdn_dtype=gdt,
+                                    name="rbs2")(x)
         x = ResidualBlock(self.N, dw, dtype=dt, name="rb2")(x)
         x = Conv3x3(self.M, 2, dw, dtype=dt, name="out")(x)
         return x.astype(jnp.float32)
@@ -109,19 +113,23 @@ class SynthesisTransform(nn.Module):
     depthwise: bool = True
     old_head: bool = False
     dtype: jnp.dtype | None = None
+    gdn_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
-        dw, dt = self.depthwise, self.dtype
+        dw, dt, gdt = self.depthwise, self.dtype, self.gdn_dtype
         if dt is not None:
             x = x.astype(dt)
         head = self.N if self.old_head else self.M
         x = ResidualBlock(head, dw, dtype=dt, name="rb0")(x)
-        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, name="up0")(x)
+        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, gdn_dtype=gdt,
+                                  name="up0")(x)
         x = ResidualBlock(self.N, dw, dtype=dt, name="rb1")(x)
-        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, name="up1")(x)
+        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, gdn_dtype=gdt,
+                                  name="up1")(x)
         x = ResidualBlock(self.N, dw, dtype=dt, name="rb2")(x)
-        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, name="up2")(x)
+        x = ResidualBlockUpsample(self.N, 2, dw, dtype=dt, gdn_dtype=gdt,
+                                  name="up2")(x)
         x = ResidualBlock(self.N, dw, dtype=dt, name="rb3")(x)
         x = SubpelConv3x3(3, 2, dtype=dt, name="out")(x)
         return x.astype(jnp.float32)

@@ -50,8 +50,14 @@ def test_dead_leaves_pool_and_batches(tmp_path):
     batches = list(pool_batches(pool, 2, 64, 3, seed=0))
     assert len(batches) == 3
     for b in batches:
-        assert b.shape == (2, 64, 64, 3) and b.dtype == np.float32
-        assert 0.0 <= b.min() and b.max() <= 1.0
+        # default uint8 (slim uploads; the train step normalizes on device)
+        assert b.shape == (2, 64, 64, 3) and b.dtype == np.uint8
+    fbatches = list(pool_batches(pool, 2, 64, 3, seed=0, as_float=True))
+    for b, fb in zip(batches, fbatches):
+        assert fb.dtype == np.float32
+        assert 0.0 <= fb.min() and fb.max() <= 1.0
+        # identical RNG stream: float batches are exactly uint8/255
+        np.testing.assert_allclose(fb, b.astype(np.float32) / 255.0)
 
 
 def test_freeze_masks_updates():

@@ -35,8 +35,12 @@ def parse_args(argv=None):
                    help="eval image folder; default: held-out dead-leaves")
     p.add_argument("--n-images", type=int, default=8)
     p.add_argument("--image-size", type=int, default=320)
-    p.add_argument("--backend", default=None,
-                   help="codec backend (default: device on TPU, steps on CPU)")
+    p.add_argument("--backend", default="steps",
+                   help="codec backend; 'steps' (default) writes single-"
+                        "stream bitstreams with ~8 bytes overhead, matching "
+                        "the reference's format — the interleaved device "
+                        "format pays ~6 bytes/lane (0.05-0.1 bpp at 320^2) "
+                        "which would distort low-rate RD points")
     p.add_argument("--save-dir", default="/tmp/rd_eval")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
@@ -75,8 +79,7 @@ def main(argv=None):
     from mlic_tpu.models.registry import get_model
 
     assert len(args.ckpts) == len(args.lambdas)
-    backend = args.backend or (
-        "steps" if jax.devices()[0].platform == "cpu" else "device")
+    backend = args.backend
     images = holdout_images(args)
     model = get_model(args.model)
 

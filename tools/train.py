@@ -70,10 +70,12 @@ def parse_args(argv=None):
     p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--transform-dtype", default=None,
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "bfloat16_mixed"],
                    help="compute dtype for g_a/h_a/g_s (TPU mixed precision; "
                         "entropy path stays fp32 — reference AMP, "
-                        "utils/training.py:44-52)")
+                        "utils/training.py:44-52). bfloat16_mixed keeps the "
+                        "GDN norm contraction in bf16 w/ f32 accumulation "
+                        "(no per-block cast round trips)")
     return p.parse_args(argv)
 
 
@@ -223,6 +225,13 @@ def main(argv=None):
               flush=True)
         writer.write(step, {"psnr": mean_psnr, "bpp": mean_bpp}, prefix="val/")
 
+    # uint8 batches (pool path) upload 4x fewer bytes through the ~32 MB/s
+    # tunnel; normalization happens on device inside this jit wrapper (the
+    # inner jitted step inlines).
+    base_step_fn = step_fn
+    u8_step_fn = jax.jit(
+        lambda s, b: base_step_fn(s, b.astype(jnp.float32) / 255.0))
+
     step = start_step
     t0 = time.perf_counter()
     while step < args.steps:
@@ -231,8 +240,9 @@ def main(argv=None):
         nxt = min([s for s, _ in sched if s > step] + [args.steps])
         seg = make_batches(patch, nxt - step, args.seed + step)
         for batch in seg:
+            fn = u8_step_fn if batch.dtype == np.uint8 else base_step_fn
             sharded = pmesh.shard_batch(jnp.asarray(batch), mesh)
-            state, metrics = step_fn(state, sharded)
+            state, metrics = fn(state, sharded)
             step += 1
             if step % args.log_freq == 0:
                 vals = {k: float(v) for k, v in metrics.items()
