@@ -101,23 +101,37 @@ def main():
     # input already resident on the GPU — uploads aren't even counted
     # there; here they are counted but overlapped, as a serving pipeline
     # would.)
-    t0 = time.perf_counter()
+    # Pipelining (async next-batch upload + non-blocking decompress) helps
+    # when the link is fast, but on the shared dev tunnel the overlapped
+    # upload CONTENDS with the stream downloads (measured 1.28 vs 1.96
+    # img/s in a degraded-bandwidth phase) — default off.
+    pipeline = os.environ.get("BENCH_PIPELINE", "0") == "1"
+    # Per-batch timing: the dev-tunnel TPU is SHARED — co-tenant HBM
+    # traffic was measured stretching these (HBM-bound) programs 5-6x
+    # while MXU-resident matmul probes stayed fast.  Report the median
+    # batch rate as the value and best/worst in extra so one contended
+    # window doesn't masquerade as codec capability (or vice versa).
     total_bits = 0
-    x_hats = []
+    batch_times = []
     dev = jax.devices()[0]
-    pending = jax.device_put(images[1], dev)
+    pending = jax.device_put(images[1], dev) if pipeline else images[1]
+    t0 = time.perf_counter()
     for k in range(1, n_batches + 1):
+        tb = time.perf_counter()
         img = pending
         if k + 1 <= n_batches:
-            pending = jax.device_put(images[k + 1], dev)
+            pending = (jax.device_put(images[k + 1], dev) if pipeline
+                       else images[k + 1])
         enc = codec.compress(img)
         total_bits += 8 * sum(len(s) for group in enc["strings"] for s in group)
-        dec = codec.decompress(enc["strings"], enc["shape"], wait=False)
-        x_hats.append(dec["x_hat"])
-    jax.block_until_ready(x_hats)
+        dec = codec.decompress(enc["strings"], enc["shape"])
+        jax.block_until_ready(dec["x_hat"])
+        batch_times.append(time.perf_counter() - tb)
     elapsed = time.perf_counter() - t0
     n = n_batches * batch
-    imgs_per_sec = n / elapsed
+    bt = sorted(batch_times)
+    median_t = bt[len(bt) // 2]
+    imgs_per_sec = batch / median_t
     bpp = total_bits / (n * h * w)
 
     result = {
@@ -127,7 +141,11 @@ def main():
         "vs_baseline": round(imgs_per_sec / 20.0, 4),
         "extra": {("bpp" if ckpt else "bpp_random_init"): round(bpp, 4),
                   "n_images": n, "batch": batch, "backend": backend,
-                  "ckpt": bool(ckpt), "device": str(jax.devices()[0])},
+                  "ckpt": bool(ckpt), "device": str(jax.devices()[0]),
+                  "aggregation": "median_batch",
+                  "best": round(batch / bt[0], 4),
+                  "worst": round(batch / bt[-1], 4),
+                  "mean": round(n / elapsed, 4)},
     }
     print(json.dumps(result))
 

@@ -57,6 +57,22 @@ def _bucket(n: int, minimum: int = 1 << 16, headroom: float = 1.25) -> int:
     return 1 << (max(n, 2) - 1).bit_length()
 
 
+def _dl_bucket(n: int, minimum: int = 1 << 12) -> int:
+    """Fine bucket (1/16-pow2 steps, ~3% headroom) for DOWNLOAD slices.
+
+    Unlike the decode-side upload buffers — whose shape feeds the big
+    device_pass executable, where a flip costs a full recompile (hence
+    coarse pow2 buckets above) — a download slice only specializes a
+    trivial copy program, so fine granularity is safe: at most 16 tiny
+    compiles per octave, ratcheted.  Matters because the dev tunnel's
+    bandwidth degrades to ~1 MB/s in bad phases: pow2 buckets download up
+    to 2x the payload bytes."""
+    n = max(int(n * 1.03), minimum)
+    p = 1 << (max(n, 16) - 1).bit_length()
+    step = p >> 4
+    return ((n + step - 1) // step) * step
+
+
 class _ExchangeState:
     """Mutable host-side symbol-exchange state shared by both backends."""
 
@@ -316,13 +332,13 @@ class Codec:
         total = int(lane_begin[-1] + lane_n[-1])
         etotal = int(ecount.sum())
         self._enc_words_bucket = min(
-            max(getattr(self, "_enc_words_bucket", 0), _bucket(total)),
+            max(getattr(self, "_enc_words_bucket", 0), _dl_bucket(total)),
             rans["buf"].shape[0])
         buf = np.asarray(rans["buf"][:self._enc_words_bucket])
         if etotal:
             self._enc_esc_bucket = min(
                 max(getattr(self, "_enc_esc_bucket", 0),
-                    _bucket(etotal, minimum=1024)),
+                    _dl_bucket(etotal, minimum=1024)),
                 rans["ebuf"].shape[0])
             ebuf = np.asarray(rans["ebuf"][:self._enc_esc_bucket])
         else:
@@ -383,8 +399,14 @@ class Codec:
             x_hat, y_hat, sym16, sym8, idx, flags = enc_out
             rans = (self._rans_encode(sym16, idx, self._dev_tables)
                     if self.device_encode else None)
-            flags_np = np.asarray(flags)  # [sym>int16, sym>int8, z>int16]
-            z_np = np.asarray(z_symbols if flags_np[2] else z16).astype(np.int32)
+            # One sync for the flags + z16 pair (a separate flags download
+            # costs a full tunnel round trip, ~30-40 ms in bad phases);
+            # int32 z re-fetched only on the rare z>int16 overflow.
+            flags_np, z_np = jax.device_get((flags, z16))
+            flags_np = np.asarray(flags_np)  # [sym>int16, sym>int8, z>int16]
+            if flags_np[2]:
+                z_np = np.asarray(z_symbols)
+            z_np = np.asarray(z_np).astype(np.int32)
             z_strings = self._encode_z(z_np, z_qs, batch)
             if rans is not None and not flags_np[0]:
                 y_strings = self._download_streams(rans, batch)
