@@ -58,10 +58,14 @@ def main():
     # Trained weights if available: BENCH_CKPT env, else the repo's default
     # bench checkpoint (escape-heavy random-init streams are ~10x the rate
     # of trained ones and unrepresentative of deployment).
+    # The repo default checkpoint holds MLICPP_S weights; load_matching is
+    # shape-filtered, so pointing it at another model would silently load
+    # nothing and mislabel a random-init run as trained.
     default_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "ckpts", "bench_default")
     ckpt = os.environ.get("BENCH_CKPT",
-                          default_ckpt if os.path.isdir(default_ckpt) else "")
+                          default_ckpt if os.path.isdir(default_ckpt)
+                          and model_name == "MLICPP_S" else "")
     if ckpt:
         import orbax.checkpoint as ocp
 
