@@ -81,3 +81,23 @@ def test_bd_rate_identity_and_shift():
     # and a 1 dB better curve at equal rate
     d = bdrate.bd_psnr(bpp, psnr, bpp, psnr + 1.0)
     assert abs(d - 1.0) < 1e-6
+
+
+def test_dl_bucket_fine_granularity():
+    """Download buckets: <=~10% waste, monotone, minimum respected."""
+    from mlic_tpu.codec import _bucket, _dl_bucket
+
+    prev = 0
+    for n in [1, 5000, 70000, 123456, 300000, 1 << 20, (1 << 20) + 1]:
+        b = _dl_bucket(n)
+        assert b >= n
+        assert b >= _dl_bucket(1)  # minimum
+        if n > 8192:
+            assert b <= int(n * 1.13), (n, b)  # fine buckets: small waste
+        assert _dl_bucket(n) == b  # deterministic
+        assert b >= prev or n < prev  # monotone in n
+        prev = b
+    # coarse pow2 buckets for device-program shapes stay pow2
+    for n in [100, 70000, 300000]:
+        b = _bucket(n)
+        assert b & (b - 1) == 0 and b >= n
