@@ -129,7 +129,14 @@ def main():
         enc = codec.compress(img)
         total_bits += 8 * sum(len(s) for group in enc["strings"] for s in group)
         dec = codec.decompress(enc["strings"], enc["shape"])
-        jax.block_until_ready(dec["x_hat"])
+        # The axon runtime can defer execution of programs whose outputs
+        # are never fetched — block_until_ready alone returned in ~0.2 ms
+        # for a 43 ms program in one measured phase.  A scalar download is
+        # the only trustworthy fence: it forces the decode pass to have
+        # actually run (and costs one ~30 ms round trip, honestly part of
+        # delivering pixels).
+        checksum = float(jnp.sum(dec["x_hat"]))
+        assert np.isfinite(checksum)
         batch_times.append(time.perf_counter() - tb)
     elapsed = time.perf_counter() - t0
     n = n_batches * batch

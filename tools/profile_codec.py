@@ -108,14 +108,14 @@ def main():
             jax.block_until_ready(scale)
         with t.section("c.analyze"):
             y, z_symbols, z16 = codec._analyze(codec.params, x, 1.0)
-            jax.block_until_ready(y)
+            float(jnp.sum(y))  # real execution fence
         with t.section("c.encode_pass"):
             out = codec._encode_pass(codec.params, y, z_symbols, scale, 1.0)
-            jax.block_until_ready(out[2])
+            float(jnp.sum(out[2].astype(jnp.int32)))  # real execution fence
         x_hat, y_hat, sym16, sym8, idx, flags = out
         with t.section("c.rans_encode"):
             rans = codec._rans_encode(sym16, idx, codec._dev_tables)
-            jax.block_until_ready(rans["buf"])
+            float(jnp.sum(rans["lane_n"]))  # real execution fence
         with t.section("c.flags_dl"):
             flags_np = np.asarray(flags)
         with t.section("c.z_dl"):
@@ -182,7 +182,9 @@ def main():
             x_hat, y_hat = codec._device_pass(
                 codec.params, z_dev, w_dev, lb_dev, codec._dev_tables, scale,
                 codec._dev_n_steps, 1.0, ev_dev, ebg_dev)
-            jax.block_until_ready(x_hat)
+            # scalar download: block_until_ready alone does not force
+            # execution on the axon runtime (see bench.py)
+            float(jnp.sum(x_hat))
         return x_hat
 
     # Warmup (compiles + axon handshake).
