@@ -52,12 +52,20 @@ def main():
 
     def bench(label, module, args, count=1):
         params = module.init(key, *args)
+
+        def first(o):
+            return o[0] if isinstance(o, (tuple, list)) else o
+
         fn = jax.jit(lambda p, *a: module.apply(p, *a))
-        jax.block_until_ready(fn(params, *args))
+        # warmup WITH materialization (the axon runtime defers execution of
+        # never-fetched outputs — block_until_ready alone measures nothing)
+        float(jnp.sum(first(fn(params, *args))))
         t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
         for _ in range(reps):
             out = fn(params, *args)
-        jax.block_until_ready(out)
+            acc = acc + jnp.sum(first(out)).astype(jnp.float32)
+        float(acc)  # one fence for the whole chain
         ms = (time.perf_counter() - t0) / reps * 1000
         rows.append({"module": label, "ms_per_call": round(ms, 3),
                      "calls_per_pass": count,
