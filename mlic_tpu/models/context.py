@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mlic_tpu.models.layers import Conv3x3, MLP, conv1x1, conv5x5
+from mlic_tpu.models.layers import (
+    Conv3x3,
+    DepthwiseConv2D,
+    MLP,
+    conv1x1,
+    conv5x5,
+)
 from mlic_tpu.ops.math import (
     ckbd_anchor,
     ckbd_anchor_squeeze,
@@ -160,8 +166,7 @@ class _QKVConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = conv1x1(self.dim, name="pw")(x)
-        return nn.Conv(self.dim, (3, 3), padding="SAME",
-                       feature_group_count=self.dim, name="dw")(x)
+        return DepthwiseConv2D(3, name="dw")(x)
 
 
 def _linear_attention(q, k, v, num_heads):
@@ -198,8 +203,7 @@ class LinearGlobalInterContext(nn.Module):
         att = conv5x5(self.out_dim * 3 // 2, 1, name="reprojection")(att)
         mlp = conv1x1(self.out_dim * 2, name="mlp0")(att)
         mlp = nn.gelu(mlp)
-        mlp = nn.Conv(self.out_dim * 2, (3, 3), padding="SAME",
-                      feature_group_count=self.out_dim * 2, name="mlp1")(mlp)
+        mlp = DepthwiseConv2D(3, name="mlp1")(mlp)
         mlp = nn.gelu(mlp)
         mlp = conv1x1(self.out_dim, name="mlp2")(mlp)
         skip = conv1x1(self.out_dim, name="skip")(att)
@@ -234,8 +238,7 @@ class LinearGlobalIntraContext(nn.Module):
         att = conv5x5(self.dim * 2, 1, name="reprojection")(att)
         mlp = conv1x1(self.dim * 4, name="mlp0")(att)
         mlp = nn.gelu(mlp)
-        mlp = nn.Conv(self.dim * 4, (3, 3), padding="SAME",
-                      feature_group_count=self.dim * 4, name="mlp1")(mlp)
+        mlp = DepthwiseConv2D(3, name="mlp1")(mlp)
         mlp = nn.gelu(mlp)
         mlp = conv1x1(self.dim * 2, name="mlp2")(mlp)
         return att + mlp

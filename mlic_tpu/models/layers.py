@@ -19,6 +19,45 @@ from flax import linen as nn
 from mlic_tpu.ops.math import lower_bound
 
 
+class DepthwiseConv2D(nn.Module):
+    """Depthwise kxk conv as k^2 shifted elementwise multiply-adds.
+
+    XLA on this TPU lowers grouped (feature_group_count=C) convolutions
+    pathologically at large spatial dims: 78 ms vs 5 ms for the shift
+    decomposition at [8,128,192,96] (ROADMAP).  Parameters keep
+    ``nn.Conv``'s names/shapes (kernel [k,k,1,C], bias [C]) so checkpoints
+    and the reference converter are unaffected.  Padding is symmetric
+    (torch parity); H and W are assumed divisible by the stride (latents
+    are always even; images are padded to multiples of 64).
+    """
+
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        k = self.kernel_size
+        s = self.stride
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, 1, c))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        dt = self.dtype or x.dtype
+        h, w = x.shape[1], x.shape[2]
+        ho, wo = h // s, w // s
+        xp = jnp.pad(x, ((0, 0), (k // 2, k // 2), (k // 2, k // 2),
+                         (0, 0))).astype(dt)
+        kern = kernel.astype(dt)
+        out = None
+        for di in range(k):
+            for dj in range(k):
+                t = (xp[:, di:di + s * (ho - 1) + 1:s,
+                        dj:dj + s * (wo - 1) + 1:s, :] * kern[di, dj, 0])
+                out = t if out is None else out + t
+        return out + bias.astype(dt)
+
+
 class DepthwiseSeparableConv(nn.Module):
     """3x3 depthwise + 1x1 pointwise (reference ``conv.py:46-64``)."""
 
@@ -29,12 +68,8 @@ class DepthwiseSeparableConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
-        k = self.kernel_size
-        x = nn.Conv(in_ch, (k, k), strides=(self.stride, self.stride),
-                    padding=((k // 2, k // 2), (k // 2, k // 2)),
-                    feature_group_count=in_ch, dtype=self.dtype,
-                    name="depth")(x)
+        x = DepthwiseConv2D(self.kernel_size, self.stride, dtype=self.dtype,
+                            name="depth")(x)
         x = PointwiseConv(self.features, dtype=self.dtype, name="point")(x)
         return x
 
