@@ -108,12 +108,37 @@ class LocalContext(nn.Module):
         qkv = nn.Dense(3 * c, name="qkv")(xn).reshape(b, h, w, 3, c)
         q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
 
-        def windows(t):
-            return extract_windows(t, win).reshape(b, L, ws2, heads, hd)
+        # Window attention WITHOUT per-pixel 25x25 matmuls: the einsum over
+        # materialized [B,L,ws2,heads,hd] windows maps to L*heads tiny
+        # (25x16)@(16x25) MXU calls — measured 42 ms/call at Kodak latents.
+        # Since <q[p+u], k[p+v]> depends only on (p+u, v-u), compute the
+        # (2win-1)^2 = 81 shifted correlations G once (plain VPU multiply-
+        # reduce) and assemble the per-window logits from static slices.
+        wrad = win // 2
+        P = win - 1
+        H2, W2 = h + 2 * wrad, w + 2 * wrad
+        qe = jnp.pad(q * scale, ((0, 0), (wrad, wrad), (wrad, wrad), (0, 0)))
+        ke = jnp.pad(k, ((0, 0), (wrad + P, wrad + P), (wrad + P, wrad + P),
+                         (0, 0)))
+        qe_h = qe.reshape(b, H2, W2, heads, hd)
+        g_slices = []
+        for dy in range(-P, P + 1):
+            for dx in range(-P, P + 1):
+                ks = ke[:, dy + P:dy + P + H2, dx + P:dx + P + W2, :]
+                g_slices.append(jnp.sum(
+                    qe_h * ks.reshape(b, H2, W2, heads, hd), axis=-1))
+        G = jnp.stack(g_slices, axis=-1)  # [b, H2, W2, heads, 81]
 
-        qw, kw, vw = windows(q), windows(k), windows(v)
-
-        attn = jnp.einsum("blihd,bljhd->blhij", qw * scale, kw)
+        # logits[p, u, v] = G[p + u, delta(v - u)]
+        offs = [(i, j) for i in range(win) for j in range(win)]
+        rows = []
+        for uy, ux in offs:
+            g_u = G[:, uy:uy + h, ux:ux + w]          # [b,h,w,heads,81]
+            idx_u = np.asarray([(vy - uy + P) * (2 * P + 1) + (vx - ux + P)
+                                for vy, vx in offs], np.int32)
+            rows.append(jnp.take(g_u, idx_u, axis=-1))  # [b,h,w,heads,25]
+        attn = jnp.stack(rows, axis=4)                  # [b,h,w,heads,25,25]
+        attn = attn.reshape(b, L, heads, ws2, ws2)
 
         rel_table = self.param(
             "rel_pos_table",
@@ -131,8 +156,17 @@ class LocalContext(nn.Module):
         attn = attn + mask[None, :, None]
 
         attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("blhij,bljhd->blihd", attn, vw)
-        out = out.reshape(b, L, ws2 * c)
+
+        # attn @ v as 25 shifted broadcast-accumulates (same small-matmul
+        # disease in einsum form).
+        ve = jnp.pad(v, ((0, 0), (wrad, wrad), (wrad, wrad), (0, 0)))
+        out = None
+        for j, (vy, vx) in enumerate(offs):
+            vj = (ve[:, vy:vy + h, vx:vx + w, :]
+                  .reshape(b, L, heads, 1, hd))
+            t = attn[..., j][..., None] * vj          # [b,L,heads,ws2,hd]
+            out = t if out is None else out + t
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, L, ws2 * c)
 
         # Per-window fusion conv(k=win) == Dense over the flattened window.
         out = nn.Dense(2 * c, name="fusion")(out)
