@@ -35,10 +35,11 @@ def main():
             print(*a, file=sys.stderr, flush=True)
 
     model_name = os.environ.get("BENCH_MODEL", "MLICPP_S")
-    n_batches = int(os.environ.get("BENCH_IMAGES", "3"))
+    n_batches = int(os.environ.get("BENCH_IMAGES", "8"))
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     backend = os.environ.get("BENCH_BACKEND", "device")
     n_lanes = int(os.environ.get("BENCH_LANES", "512"))
+    content = os.environ.get("BENCH_CONTENT", "dead_leaves")
     h, w = 512, 768  # Kodak portrait/landscape canonical size
 
     model = get_model(model_name)
@@ -80,12 +81,25 @@ def main():
     vlog(f"update: {time.perf_counter()-t:.1f}s")
 
     images = []
-    gen = synthetic_batches(batch, 64, steps=n_batches + 1, seed=7)
-    for b in gen:
-        # synthetic_batches yields square patches; tile to Kodak shape.
-        # uint8 host-side, like a real image pipeline (1 byte/chan upload).
-        img = np.tile(b, (1, h // 64 + 1, w // 64 + 1, 1))[:, :h, :w, :]
-        images.append(np.round(img * 255).astype(np.uint8))
+    if content == "dead_leaves":
+        # Non-tiled full-frame dead-leaves content (scale-invariant disk
+        # occlusions): no periodic structure for the context models to
+        # exploit, unlike the r1/r2 tiled-patch frames.  Rendered once and
+        # cached on disk (MLIC_POOL_CACHE).
+        from mlic_tpu.data.folder import dead_leaves_pool
+        n_frames = min((n_batches + 1) * batch, 24)
+        pool = dead_leaves_pool(n_frames, h, seed=1303, width=w)
+        for k in range(n_batches + 1):
+            idx = [(k * batch + i) % n_frames for i in range(batch)]
+            images.append(pool[idx])
+    else:
+        gen = synthetic_batches(batch, 64, steps=n_batches + 1, seed=7)
+        for b in gen:
+            # synthetic_batches yields square patches; tile to Kodak shape.
+            # uint8 host-side, like a real image pipeline (1 byte/chan
+            # upload).
+            img = np.tile(b, (1, h // 64 + 1, w // 64 + 1, 1))[:, :h, :w, :]
+            images.append(np.round(img * 255).astype(np.uint8))
 
     # Warmup: compile encode+decode paths.
     t = time.perf_counter()
@@ -117,6 +131,8 @@ def main():
     # window doesn't masquerade as codec capability (or vice versa).
     total_bits = 0
     batch_times = []
+    enc_times = []
+    dec_times = []
     dev = jax.devices()[0]
     pending = jax.device_put(images[1], dev) if pipeline else images[1]
     t0 = time.perf_counter()
@@ -128,7 +144,11 @@ def main():
                        else images[k + 1])
         enc = codec.compress(img)
         total_bits += 8 * sum(len(s) for group in enc["strings"] for s in group)
-        dec = codec.decompress(enc["strings"], enc["shape"])
+        # compress() is fenced by construction: the returned strings are
+        # host bytes assembled from real device downloads.
+        te = time.perf_counter()
+        dec = codec.decompress(enc["strings"], enc["shape"],
+                               wait=not pipeline)
         # The axon runtime can defer execution of programs whose outputs
         # are never fetched — block_until_ready alone returned in ~0.2 ms
         # for a 43 ms program in one measured phase.  A scalar download is
@@ -137,13 +157,17 @@ def main():
         # delivering pixels).
         checksum = float(jnp.sum(dec["x_hat"]))
         assert np.isfinite(checksum)
-        batch_times.append(time.perf_counter() - tb)
+        td = time.perf_counter()
+        enc_times.append(te - tb)
+        dec_times.append(td - te)
+        batch_times.append(td - tb)
     elapsed = time.perf_counter() - t0
     n = n_batches * batch
     bt = sorted(batch_times)
     median_t = bt[len(bt) // 2]
     imgs_per_sec = batch / median_t
     bpp = total_bits / (n * h * w)
+    med = lambda ts: sorted(ts)[len(ts) // 2]
 
     result = {
         "metric": f"kodak_768x512_encdec_images_per_sec_per_chip[{model_name}]",
@@ -153,7 +177,10 @@ def main():
         "extra": {("bpp" if ckpt else "bpp_random_init"): round(bpp, 4),
                   "n_images": n, "batch": batch, "backend": backend,
                   "ckpt": bool(ckpt), "device": str(jax.devices()[0]),
+                  "content": content, "fenced": True,
                   "aggregation": "median_batch",
+                  "enc_img_s": round(batch / med(enc_times), 4),
+                  "dec_img_s": round(batch / med(dec_times), 4),
                   "best": round(batch / bt[0], 4),
                   "worst": round(batch / bt[-1], 4),
                   "mean": round(n / elapsed, 4)},

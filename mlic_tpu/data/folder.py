@@ -118,32 +118,38 @@ class ImageFolderDataset:
 
 def dead_leaves_pool(n_images: int, size: int, seed: int = 0,
                      n_disks: int = 180,
-                     cache_dir: str | None = None) -> np.ndarray:
+                     cache_dir: str | None = None,
+                     width: int | None = None) -> np.ndarray:
     """Procedural 'dead leaves' image pool: occluding random disks with a
     power-law radius distribution — the classic natural-image surrogate
     (scale-invariant statistics, sharp occlusion edges), far harder to
     code than smooth gradients.  Used when no dataset is mounted so RD
-    curves reflect a nontrivial source.  Returns uint8 [n, size, size, 3].
+    curves reflect a nontrivial source.  Returns uint8 [n, size, width, 3]
+    (``width`` defaults to ``size`` for square frames; pass e.g.
+    ``size=512, width=768`` for non-tiled Kodak-shaped bench frames).
     """
+    if width is None:
+        width = size
     if cache_dir is None:
         cache_dir = os.environ.get("MLIC_POOL_CACHE", "/tmp/mlic_pool_cache")
     cache = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
+        wtag = "" if width == size else f"_w{width}"
         cache = os.path.join(
-            cache_dir, f"dl_{n_images}_{size}_{seed}_{n_disks}.npz")
+            cache_dir, f"dl_{n_images}_{size}{wtag}_{seed}_{n_disks}.npz")
         if os.path.exists(cache):
             return np.load(cache)["pool"]
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
-    pool = np.empty((n_images, size, size, 3), np.uint8)
-    r_min, r_max = max(size / 64.0, 2.0), size / 2.0
+    yy, xx = np.mgrid[0:size, 0:width].astype(np.float32)
+    pool = np.empty((n_images, size, width, 3), np.uint8)
+    r_min, r_max = max(min(size, width) / 64.0, 2.0), min(size, width) / 2.0
     for i in range(n_images):
-        img = np.tile(rng.random(3, dtype=np.float32)[None, None], (size, size, 1))
+        img = np.tile(rng.random(3, dtype=np.float32)[None, None], (size, width, 1))
         # Inverse-cube radius law ~ scale-invariant leaf sizes.
         u = rng.random(n_disks, dtype=np.float32)
         radii = r_min / np.power(1.0 - u * (1.0 - (r_min / r_max) ** 2), 0.5)
-        cx = rng.random(n_disks, dtype=np.float32) * size
+        cx = rng.random(n_disks, dtype=np.float32) * width
         cy = rng.random(n_disks, dtype=np.float32) * size
         colors = rng.random((n_disks, 3), dtype=np.float32)
         # Mild per-disk texture keeps high-frequency content.

@@ -26,6 +26,12 @@ class ModelConfig:
     # Variable-rate hyper-latent: EntropyBottleneckVbr + gayn2zqstep MLP
     # (reference ``vr_entbttlnck`` ctor arg, mlicpp_vbr.py:104-117).
     vr_entbttlnck: bool = False
+    # Let gradients flow into the Gain vector during stage-2 training.
+    # OFF by default for parity: the reference detaches Gain in its forward
+    # (``mlicpp_vbr.py:126-132``), training it only through the commented-out
+    # variant — with False, the MGDA trainer's per-level gain-grad sum is
+    # exactly zero, mirroring that frozen behavior.
+    train_gain: bool = False
     # Compute dtype for the transforms OUTSIDE the entropy loop (g_a, h_a,
     # g_s): "bfloat16" halves MXU time without touching bitstream
     # determinism (entropy-parameter path stays float32).  Param dtype is

@@ -332,7 +332,6 @@ class MLICPlusPlus(nn.Module):
         cfg = self.cfg
         C = cfg.slice_ch
         scale = state["scale"]
-        rescale = 1.0 / scale
         hyper_params = state["hyper_params"]
         _, hyper_means = self._chunk2(hyper_params)
         y_hat_slices = self._buf_slices(state, idx)
@@ -363,7 +362,6 @@ class MLICPlusPlus(nn.Module):
         cfg = self.cfg
         C = cfg.slice_ch
         scale = state["scale"]
-        rescale = 1.0 / scale
         hyper_params = state["hyper_params"]
         _, hyper_means = self._chunk2(hyper_params)
         y_hat_slices = self._buf_slices(state, idx)

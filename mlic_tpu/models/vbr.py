@@ -98,9 +98,16 @@ class MLICPlusPlusVbr(MLICPlusPlus):
         return jnp.sign(sym) * (jnp.abs(sym) + off) * (1.0 / scale) + mu_sq
 
     def _scale(self, s, inputscale=None):
-        """Gain gather with clipped traced index; inputscale overrides."""
+        """Gain gather with clipped traced index; inputscale overrides.
+
+        Parity default (``train_gain=False``): stop-grad like the reference,
+        whose forward detaches Gain (``mlicpp_vbr.py:126-132``).  With
+        ``train_gain=True`` the gather stays differentiable so the MGDA
+        trainer's per-level gain-grad sum actually trains the vector."""
         s = jnp.clip(jnp.asarray(s, jnp.int32), 0, len(self.cfg.gain_init) - 1)
-        scale = jax.lax.stop_gradient(jnp.abs(self.Gain[s]))
+        scale = jnp.abs(self.Gain[s])
+        if not self.cfg.train_gain:
+            scale = jax.lax.stop_gradient(scale)
         if inputscale is not None:
             scale = jnp.where(inputscale > 0, inputscale, scale)
         return scale

@@ -174,6 +174,29 @@ def test_vr_entbttlnck_forward_finite():
         assert np.isfinite(np.asarray(out["likelihoods"]["z"])).all()
 
 
+def test_train_gain_flag_controls_gain_gradient():
+    """Default (parity with the reference's detached Gain,
+    mlicpp_vbr.py:126-132): zero Gain gradient.  With train_gain=True the
+    gather is differentiable and the selected level's gain moves."""
+    for train_gain in (False, True):
+        cfg = dataclasses.replace(TINY_VBR, name="TINY_VBR_TG",
+                                  train_gain=train_gain)
+        model, params, x = _init_vbr(cfg)
+
+        def loss(p):
+            out = model.apply({"params": p}, x, True, 2, 1,
+                              rngs={"noise": jax.random.key(3)})
+            return rate_distortion_loss(out, x, 0.013)["loss"]
+
+        g = jax.jit(jax.grad(loss))(params)["Gain"]
+        g = np.asarray(g)
+        if train_gain:
+            assert abs(g[1]) > 0, "selected level's gain must receive grad"
+            assert g[0] == 0 and g[2] == 0, "unselected levels stay zero"
+        else:
+            np.testing.assert_array_equal(g, np.zeros_like(g))
+
+
 def test_sd_vbr_forward_and_roundtrip():
     """Small-decoder + VBR combined config (MLICPP_M_SMALL_DEC_VBR shape,
     tiny dims): forward at 2 levels + bit-exact codec round trip

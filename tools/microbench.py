@@ -1,0 +1,148 @@
+"""True device-time per module via in-program scan repetition.
+
+tools/profile_modules.py times one jitted call per module; on the axon
+dev-tunnel runtime every launch carries a multi-ms dispatch cost, so small
+modules all read ~7-10 ms regardless of their real device time.  This tool
+instead compiles ONE executable per module that runs the module ``reps``
+times inside ``lax.scan`` with a serial data dependency between iterations
+(so XLA cannot hoist or elide the body), fences once, and divides — giving
+the module's actual on-device cost, which is what matters inside the fused
+codec passes.
+
+Usage: python tools/microbench.py  (env: MB_MODEL, MB_BATCH, MB_REPS, MB_SET)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mlic_tpu.models.config import model_config
+    from mlic_tpu.models.context import (
+        ChannelContext,
+        EntropyParameters,
+        LatentResidualPrediction,
+        LinearGlobalInterContext,
+        LinearGlobalIntraContext,
+        LocalContext,
+    )
+    from mlic_tpu.models.transforms import (
+        AnalysisTransform,
+        HyperAnalysis,
+        HyperSynthesis,
+        SynthesisTransform,
+    )
+
+    name = os.environ.get("MB_MODEL", "MLICPP_S")
+    B = int(os.environ.get("MB_BATCH", "8"))
+    reps = int(os.environ.get("MB_REPS", "30"))
+    which = os.environ.get("MB_SET", "all")  # all | ctx | gemm
+    cfg = model_config(name)
+    N, M, S, C = cfg.N, cfg.M, cfg.slice_num, cfg.slice_ch
+    H, W = 512, 768
+    h, w = H // 16, W // 16
+
+    key = jax.random.key(0)
+    rows = []
+
+    def scan_time(label, fn, x, count=1):
+        """Time ``fn(x, *extra)`` repeated ``reps`` times with a serial
+        dependency through a scalar carry."""
+
+        def body(carry, _):
+            x_i = jax.tree.map(lambda a: a * (1.0 + 1e-30 * carry), x)
+            out = fn(x_i)
+            out0 = out[0] if isinstance(out, (tuple, list)) else out
+            return jnp.sum(out0).astype(jnp.float32) * 1e-30, None
+
+        prog = jax.jit(lambda: jax.lax.scan(body, jnp.zeros(()), None,
+                                            length=reps)[0])
+        float(prog())  # compile + warm + fence
+        t0 = time.perf_counter()
+        float(prog())
+        ms = (time.perf_counter() - t0) / reps * 1000
+        rows.append({"module": label, "ms_per_call": round(ms, 3),
+                     "calls_per_pass": count,
+                     "ms_per_pass": round(ms * count, 3)})
+        print(f"{label:36s} {ms:8.3f} ms x{count} = {ms*count:8.2f} ms/pass",
+              flush=True)
+        return ms
+
+    def bench_mod(label, module, args, count=1):
+        params = module.init(key, *args)
+        if len(args) == 1:
+            scan_time(label, lambda x: module.apply(params, x), args[0], count)
+        else:
+            # multi-arg: thread the carry through the first arg only
+            a0, rest = args[0], args[1:]
+            scan_time(label, lambda x: module.apply(params, x, *rest), a0,
+                      count)
+
+    x_img = jax.random.normal(key, (B, H, W, 3), jnp.float32)
+    y_lat = jax.random.normal(key, (B, h, w, M), jnp.float32)
+    z_lat = jax.random.normal(key, (B, h // 4, w // 4, N), jnp.float32)
+    sl = jax.random.normal(key, (B, h, w, C), jnp.float32)
+
+    if which in ("all", "gemm"):
+        # MXU probe: quietness reference (PARITY.md "shared-chip
+        # contention" — MXU-resident matmuls stay fast under co-tenant HBM
+        # traffic; if THIS is slow, the whole session is contended).
+        mp = jax.random.normal(key, (2048, 2048), jnp.float32)
+        wp = jax.random.normal(key, (2048, 2048), jnp.float32)
+        ms = scan_time("mxu_probe[2048^3 f32]", lambda x: x @ wp, mp)
+        gf = 2 * 2048**3 / (ms * 1e-3) / 1e12
+        print(f"  -> {gf:.1f} TFLOP/s", flush=True)
+        # Floor: one plain GEMM at the widest EP size, fp32 and bf16.
+        L = B * h * w
+        a32 = jax.random.normal(key, (L, 2 * M + 10 * C), jnp.float32)
+        w32 = jax.random.normal(key, (2 * M + 10 * C, 320), jnp.float32)
+        scan_time("gemm[LxKx320] f32", lambda x: x @ w32, a32)
+        a16, w16 = a32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16)
+        scan_time("gemm[LxKx320] bf16", lambda x: (x @ w16), a16)
+
+    if which in ("all", "ctx"):
+        bench_mod("EntropyParameters(widest)",
+                  EntropyParameters(out_dim=2 * C),
+                  (jax.random.normal(key, (B, h, w, 2 * M + 10 * C),
+                                     jnp.float32),), count=2 * S)
+        bench_mod("LRP(widest)",
+                  LatentResidualPrediction(out_dim=C, in_dim=M + S * C),
+                  (jax.random.normal(key, (B, h, w, M + S * C), jnp.float32),),
+                  count=2 * S)
+        bench_mod("LocalContext",
+                  LocalContext(dim=C, window_size=cfg.context_window),
+                  (sl,), count=S)
+        cat4 = jax.random.normal(key, (B, h, w, C * (S - 1)), jnp.float32)
+        bench_mod(f"ChannelContext[i={S-1}]",
+                  ChannelContext(out_dim=C, hidden=(192, 128)), (cat4,))
+        bench_mod(f"GlobalInter[i={S-1}]",
+                  LinearGlobalInterContext(dim=C * (S - 1), out_dim=2 * C,
+                                           num_heads=max(C * (S - 1) // 32, 1)),
+                  (cat4,))
+        bench_mod("GlobalIntra", LinearGlobalIntraContext(dim=C), (sl, sl),
+                  count=S - 1)
+
+    if which == "all":
+        bench_mod("h_s (HyperSynthesis)", HyperSynthesis(M=M, N=N), (z_lat,))
+        bench_mod("g_s (SynthesisTransform)", SynthesisTransform(N=N, M=M),
+                  (y_lat,))
+        bench_mod("g_a (AnalysisTransform)", AnalysisTransform(N=N, M=M),
+                  (x_img,))
+        bench_mod("h_a (HyperAnalysis)", HyperAnalysis(M=M, N=N), (y_lat,))
+
+    rows.sort(key=lambda r: -r["ms_per_pass"])
+    print(json.dumps({"model": name, "batch": B, "reps": reps,
+                      "latent": [h, w], "modules": rows}))
+
+
+if __name__ == "__main__":
+    main()
