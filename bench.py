@@ -75,7 +75,12 @@ def main():
         params = load_matching(params, raw.get("params", raw))
         vlog(f"loaded checkpoint {ckpt}")
 
-    codec = Codec(model, params, backend=backend, n_lanes=n_lanes)
+    # Encode-side g_s synthesis off by default: serving delivers bitstreams
+    # (the reference's compress never synthesizes either); BENCH_ENC_RECON=1
+    # restores the encoder-side reconstruction.
+    enc_recon = os.environ.get("BENCH_ENC_RECON", "0") == "1"
+    codec = Codec(model, params, backend=backend, n_lanes=n_lanes,
+                  encode_recon=enc_recon)
     t = time.perf_counter()
     codec.update()
     vlog(f"update: {time.perf_counter()-t:.1f}s")
@@ -110,19 +115,10 @@ def main():
     jax.block_until_ready(dec["x_hat"])
     vlog(f"decompress warmup: {time.perf_counter()-t:.1f}s")
 
-    # Timed loop, software-pipelined: the NEXT batch's upload is issued
-    # before the current batch is processed (device_put is async, the
-    # transfer overlaps device compute), and decompress dispatches without
-    # blocking so the host's stream parsing/assembly for batch i+1 overlaps
-    # batch i's device decode.  All x_hats are materialized before the
-    # clock stops.  (The reference's cost_time brackets compress() with the
-    # input already resident on the GPU — uploads aren't even counted
-    # there; here they are counted but overlapped, as a serving pipeline
-    # would.)
-    # Pipelining (async next-batch upload + non-blocking decompress) helps
-    # when the link is fast, but on the shared dev tunnel the overlapped
-    # upload CONTENDS with the stream downloads (measured 1.28 vs 1.96
-    # img/s in a degraded-bandwidth phase) — default off.
+    # BENCH_PIPELINE=1: two-deep software pipeline (compress_begin/end
+    # split) — overlaps host stream-assembly/z-coding/transfers of batch i
+    # with device compute of batch i+1, as a serving pipeline would.  All
+    # work is still counted; the clock stops after the last checksum.
     pipeline = os.environ.get("BENCH_PIPELINE", "0") == "1"
     # Per-batch timing: the dev-tunnel TPU is SHARED — co-tenant HBM
     # traffic was measured stretching these (HBM-bound) programs 5-6x
@@ -130,44 +126,78 @@ def main():
     # batch rate as the value and best/worst in extra so one contended
     # window doesn't masquerade as codec capability (or vice versa).
     total_bits = 0
-    batch_times = []
-    enc_times = []
-    dec_times = []
-    dev = jax.devices()[0]
-    pending = jax.device_put(images[1], dev) if pipeline else images[1]
-    t0 = time.perf_counter()
-    for k in range(1, n_batches + 1):
-        tb = time.perf_counter()
-        img = pending
-        if k + 1 <= n_batches:
-            pending = (jax.device_put(images[k + 1], dev) if pipeline
-                       else images[k + 1])
-        enc = codec.compress(img)
-        total_bits += 8 * sum(len(s) for group in enc["strings"] for s in group)
-        # compress() is fenced by construction: the returned strings are
-        # host bytes assembled from real device downloads.
-        te = time.perf_counter()
-        dec = codec.decompress(enc["strings"], enc["shape"],
-                               wait=not pipeline)
-        # The axon runtime can defer execution of programs whose outputs
-        # are never fetched — block_until_ready alone returned in ~0.2 ms
-        # for a 43 ms program in one measured phase.  A scalar download is
-        # the only trustworthy fence: it forces the decode pass to have
-        # actually run (and costs one ~30 ms round trip, honestly part of
-        # delivering pixels).
-        checksum = float(jnp.sum(dec["x_hat"]))
-        assert np.isfinite(checksum)
-        td = time.perf_counter()
-        enc_times.append(te - tb)
-        dec_times.append(td - te)
-        batch_times.append(td - tb)
-    elapsed = time.perf_counter() - t0
     n = n_batches * batch
-    bt = sorted(batch_times)
-    median_t = bt[len(bt) // 2]
-    imgs_per_sec = batch / median_t
-    bpp = total_bits / (n * h * w)
-    med = lambda ts: sorted(ts)[len(ts) // 2]
+    bpp = 0.0
+    extra = {}
+
+    if pipeline and backend == "device":
+        # Two-deep software pipeline over the begin/end split: the device
+        # executes programs back-to-back in dispatch order while the host
+        # overlaps its stream downloads / z coding / parsing of batch i
+        # with the device compute of batch i+1.  All work is counted — the
+        # clock stops only after every x_hat checksum is fetched.
+        fences = []
+        t0 = time.perf_counter()
+        h_enc = codec.compress_begin(images[1])
+        dec_pending = None  # (dec dict) awaiting checksum
+        for k in range(1, n_batches + 1):
+            if k + 1 <= n_batches:
+                nxt = codec.compress_begin(images[k + 1])
+            else:
+                nxt = None
+            enc = codec.compress_end(h_enc)
+            total_bits += 8 * sum(len(s) for g in enc["strings"] for s in g)
+            dec = codec.decompress(enc["strings"], enc["shape"], wait=False)
+            if dec_pending is not None:
+                checksum = float(jnp.sum(dec_pending["x_hat"]))
+                assert np.isfinite(checksum)
+            dec_pending = dec
+            h_enc = nxt
+        checksum = float(jnp.sum(dec_pending["x_hat"]))
+        assert np.isfinite(checksum)
+        elapsed = time.perf_counter() - t0
+        imgs_per_sec = n / elapsed
+        bpp = total_bits / (n * h * w)
+        extra["aggregation"] = "pipelined_aggregate"
+    else:
+        batch_times = []
+        enc_times = []
+        dec_times = []
+        t0 = time.perf_counter()
+        for k in range(1, n_batches + 1):
+            tb = time.perf_counter()
+            img = images[k]
+            enc = codec.compress(img)
+            total_bits += 8 * sum(len(s) for group in enc["strings"]
+                                  for s in group)
+            # compress() is fenced by construction: the returned strings
+            # are host bytes assembled from real device downloads.
+            te = time.perf_counter()
+            dec = codec.decompress(enc["strings"], enc["shape"])
+            # The axon runtime can defer execution of programs whose
+            # outputs are never fetched — block_until_ready alone returned
+            # in ~0.2 ms for a 43 ms program in one measured phase.  A
+            # scalar download is the only trustworthy fence: it forces the
+            # decode pass to have actually run (and costs one ~30 ms round
+            # trip, honestly part of delivering pixels).
+            checksum = float(jnp.sum(dec["x_hat"]))
+            assert np.isfinite(checksum)
+            td = time.perf_counter()
+            enc_times.append(te - tb)
+            dec_times.append(td - te)
+            batch_times.append(td - tb)
+        elapsed = time.perf_counter() - t0
+        bt = sorted(batch_times)
+        imgs_per_sec = batch / bt[len(bt) // 2]
+        bpp = total_bits / (n * h * w)
+        med = lambda ts: sorted(ts)[len(ts) // 2]
+        extra.update({
+            "aggregation": "median_batch",
+            "enc_img_s": round(batch / med(enc_times), 4),
+            "dec_img_s": round(batch / med(dec_times), 4),
+            "best": round(batch / bt[0], 4),
+            "worst": round(batch / bt[-1], 4),
+            "mean": round(n / elapsed, 4)})
 
     result = {
         "metric": f"kodak_768x512_encdec_images_per_sec_per_chip[{model_name}]",
@@ -177,13 +207,7 @@ def main():
         "extra": {("bpp" if ckpt else "bpp_random_init"): round(bpp, 4),
                   "n_images": n, "batch": batch, "backend": backend,
                   "ckpt": bool(ckpt), "device": str(jax.devices()[0]),
-                  "content": content, "fenced": True,
-                  "aggregation": "median_batch",
-                  "enc_img_s": round(batch / med(enc_times), 4),
-                  "dec_img_s": round(batch / med(dec_times), 4),
-                  "best": round(batch / bt[0], 4),
-                  "worst": round(batch / bt[-1], 4),
-                  "mean": round(n / elapsed, 4)},
+                  "content": content, "fenced": True, **extra},
     }
     print(json.dumps(result))
 

@@ -110,13 +110,17 @@ class Codec:
     """compress()/decompress() driver around a trained MLICPlusPlus."""
 
     def __init__(self, model: MLICPlusPlus, params: Any, backend: str = "steps",
-                 n_lanes: int = 256):
+                 n_lanes: int = 256, encode_recon: bool = True):
         if backend not in ("steps", "fused", "device"):
             raise ValueError(f"unknown backend {backend!r}")
         self.model = model
         self.params = params
         self.backend = backend
         self.n_lanes = n_lanes
+        # encode_recon=False drops the encode-side g_s synthesis (and the
+        # x_hat key from compress results) — the reference's compress never
+        # synthesizes either; keep True where eval asserts enc/dec equality.
+        self.encode_recon = encode_recon
         self._x = _ExchangeState()
         self._gc: Optional[GaussianConditionalTables] = None
         self._eb = None  # (cdfs, lengths, offsets, medians)
@@ -158,7 +162,7 @@ class Codec:
             self.parametric = False  # set by update()
             self._encode_pass = jax.jit(
                 lambda p, y, zs, sc, zqs: model.apply(
-                    {"params": p}, y, zs, sc, zqs,
+                    {"params": p}, y, zs, sc, zqs, encode_recon,
                     method=cls.codec_encode_pass))
             # On-device rANS encode: download ∝ compressed bytes instead of
             # per-symbol arrays (MLIC_DEVICE_ENCODE=0 restores host encode).
@@ -169,6 +173,28 @@ class Codec:
             self._rans_encode = jax.jit(
                 lambda sym, idx, tables: encode_interleaved_device(
                     sym, idx, tables, n_lanes, n_ph))
+
+            # ONE-dispatch encode: analyze + context pass + device rANS in
+            # a single program.  On the shared axon runtime each dispatched
+            # program pays queueing/time-slice overhead that can dwarf its
+            # device time (measured: the 20-phase encode pass runs 21
+            # ms/batch inside one program vs 200+ ms/img dispatched in
+            # pieces in a contended window) — so the encode side submits
+            # exactly one program.
+            def _encode_full(p, x, sc, zqs, tables):
+                y, z_symbols, z16 = _analyze_fn(p, x, zqs)
+                out = model.apply({"params": p}, y, z_symbols, sc, zqs,
+                                  encode_recon,
+                                  method=cls.codec_encode_pass)
+                x_hat, y_hat, sym16, sym8, idx, flags = out
+                rans = encode_interleaved_device(sym16, idx, tables,
+                                                 n_lanes, n_ph)
+                return {"y": y, "z_symbols": z_symbols, "z16": z16,
+                        "x_hat": x_hat, "y_hat": y_hat, "sym16": sym16,
+                        "sym8": sym8, "idx": idx, "flags": flags,
+                        "rans": rans}
+
+            self._encode_full = jax.jit(_encode_full)
         if backend == "fused":
             self._fused = jax.jit(
                 lambda p, y, zs, sc, zqs: model.apply(
@@ -256,6 +282,15 @@ class Codec:
         if self._gc is None or self._eb is None:
             self.update()
 
+    def _scale_for(self, s: int, inputscale: float):
+        """Coding-time gain.  Fixed-rate models skip the device gather
+        entirely (a dispatched one-op program per compress/decompress call
+        costs a tunnel round trip for a constant 1.0)."""
+        if not getattr(self.model.cfg, "vbr", False):
+            return 1.0
+        return self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
+                                jnp.asarray(inputscale, jnp.float32))
+
     def _z_qs_for(self, s: int, inputscale: float) -> float:
         """Host value of the z quantization step for a rate level (1.0 for
         fixed-rate bottlenecks); one tiny download per distinct level."""
@@ -320,21 +355,37 @@ class Codec:
                 self.params, y, state, jnp.asarray(sym, jnp.int32))
         return self._finish(self.params, state)
 
-    def _download_streams(self, rans: dict, batch: int) -> list[bytes]:
+    def _download_streams(self, rans: dict, batch: int,
+                          extra_fetch: tuple = ()) -> list[bytes] | tuple:
         """Fetch the device-encoded streams: per-lane metadata (KBs) plus
         bucket-rounded slices of the word/escape buffers (∝ compressed
         bytes), then assemble the per-image format-v2 streams on the host
-        — byte-identical to ``coder.encode_interleaved``'s output."""
+        — byte-identical to ``coder.encode_interleaved``'s output.
+
+        Steady state costs ONE synchronous device->host fetch: the word
+        buffer is speculatively sliced at the ratcheted bucket from the
+        previous batch and fetched TOGETHER with the lane metadata (and any
+        ``extra_fetch`` arrays the caller wants in the same round trip);
+        only when a batch's stream outgrows the ratchet (which then grows,
+        so at most a handful of times per session) is a tail fetch needed.
+        Each synchronous fetch on the shared axon runtime costs a tunnel
+        round trip PLUS a rescheduling stall in contended windows — the
+        fetch count, not the byte count, dominates."""
         nl = self.n_lanes
-        lane_begin = np.asarray(rans["lane_begin"])
-        lane_n = np.asarray(rans["lane_n"])
-        ecount = np.asarray(rans["ecount"])
+        spec_bucket = getattr(self, "_enc_words_bucket", 0)
+        fetch = [rans["lane_begin"], rans["lane_n"], rans["ecount"],
+                 rans["buf"][:spec_bucket]] + list(extra_fetch)
+        lane_begin, lane_n, ecount, buf0, *extra = jax.device_get(fetch)
         total = int(lane_begin[-1] + lane_n[-1])
         etotal = int(ecount.sum())
         self._enc_words_bucket = min(
-            max(getattr(self, "_enc_words_bucket", 0), _dl_bucket(total)),
-            rans["buf"].shape[0])
-        buf = np.asarray(rans["buf"][:self._enc_words_bucket])
+            max(spec_bucket, _dl_bucket(total)), rans["buf"].shape[0])
+        if total <= spec_bucket:
+            buf = np.asarray(buf0)
+        else:  # ratchet grew: fetch the missing tail once
+            buf = np.concatenate([
+                np.asarray(buf0),
+                np.asarray(rans["buf"][spec_bucket:self._enc_words_bucket])])
         if etotal:
             self._enc_esc_bucket = min(
                 max(getattr(self, "_enc_esc_bucket", 0),
@@ -357,6 +408,8 @@ class Codec:
                 body += b"\x00\x00"
             streams.append(header + body
                            + ebuf[eb[b]:eb[b + 1]].astype(np.int32).tobytes())
+        if extra_fetch:
+            return streams, extra
         return streams
 
     def _encode_z(self, z_np: np.ndarray, z_qs, batch: int) -> list[bytes]:
@@ -369,6 +422,98 @@ class Codec:
                 for b in range(batch)]
 
     # ------------------------------------------------------------------
+    def compress_begin(self, x, s: int = 0, inputscale: float = 0.0) -> dict:
+        """Dispatch half of a device-backend compress: uploads the batch
+        and queues the analyze / encode / device-rANS programs WITHOUT any
+        device->host fetch.  Returns a handle for ``compress_end``.
+
+        Split so a serving loop can overlap the host-side half (stream
+        downloads, z coding) of batch i with the device compute of batch
+        i+1 (``bench.py`` pipeline mode; the device executes programs in
+        dispatch order, so correctness is unaffected)."""
+        assert self.backend == "device", "begin/end split is device-backend only"
+        self._require_tables()
+        t0 = time.perf_counter()
+        scale = self._scale_for(s, inputscale)
+        z_qs = self._z_qs_for(s, inputscale)
+        x = jnp.asarray(x)
+        if x.dtype != jnp.uint8:
+            x = x.astype(jnp.float32)
+        if self.device_encode:
+            # Single-dispatch path: one program for the whole encode side.
+            h = dict(self._encode_full(self.params, x, scale, z_qs,
+                                       self._dev_tables))
+        else:
+            y, z_symbols, z16 = self._analyze(self.params, x, z_qs)
+            enc_out = self._encode_pass(self.params, y, z_symbols, scale, z_qs)
+            x_hat, y_hat, sym16, sym8, idx, flags = enc_out
+            h = {"y": y, "z_symbols": z_symbols, "z16": z16, "x_hat": x_hat,
+                 "y_hat": y_hat, "sym16": sym16, "sym8": sym8, "idx": idx,
+                 "flags": flags, "rans": None}
+        h.update(t0=t0, batch=x.shape[0], scale=scale, z_qs=z_qs)
+        return h
+
+    def compress_end(self, h: dict) -> dict:
+        """Host half of a device-backend compress: fetch flags/z + streams
+        in ONE combined device->host round trip (each synchronous fetch
+        costs a tunnel RTT plus a rescheduling stall in contended windows),
+        encode z on the host, assemble the y streams."""
+        batch = h["batch"]
+        z_qs = h["z_qs"]
+        x_hat, y_hat = h["x_hat"], h["y_hat"]
+        if h["rans"] is not None:
+            y_strings, (flags_np, z_np) = self._download_streams(
+                h["rans"], batch, extra_fetch=(h["flags"], h["z16"]))
+            flags_np = np.asarray(flags_np)  # [sym>i16, sym>i8, z>i16]
+            if not flags_np[0]:
+                if flags_np[2]:
+                    z_np = np.asarray(h["z_symbols"])
+                z_np = np.asarray(z_np).astype(np.int32)
+                z_strings = self._encode_z(z_np, z_qs, batch)
+                return {
+                    "strings": [y_strings, z_strings],
+                    "shape": (int(z_np.shape[1]), int(z_np.shape[2])),
+                    "cost_time": time.perf_counter() - h["t0"],
+                    "x_hat": x_hat,
+                    "y_hat": y_hat,
+                }
+        else:
+            flags_np, z_np = jax.device_get((h["flags"], h["z16"]))
+            flags_np = np.asarray(flags_np)
+        if flags_np[2]:
+            z_np = np.asarray(h["z_symbols"])
+        z_np = np.asarray(z_np).astype(np.int32)
+        z_strings = self._encode_z(z_np, z_qs, batch)
+        if not flags_np[0]:
+            # Narrowest safe symbol download (axon: ~11 MB/s down).
+            sym = np.asarray(h["sym16"] if flags_np[1]
+                             else h["sym8"]).astype(np.int32)
+            idx = np.asarray(h["idx"])
+            n_phases = 2 * self.model.cfg.slice_num
+            n_per = sym.shape[1] // n_phases
+            self._x.encoder_chunks = [
+                (sym[:, k * n_per:(k + 1) * n_per],
+                 idx[:, k * n_per:(k + 1) * n_per])
+                for k in range(n_phases)]
+        else:
+            # int16 overflow (untrained/degenerate latents): redo the
+            # symbol collection through the int32 steps path.
+            self._x.mode = "encode"
+            self._x.encoder_chunks = []
+            x_hat, y_hat = self._run_codec(h["y"], h["z_symbols"], h["scale"],
+                                           z_qs)
+            jax.block_until_ready(x_hat)
+            self._x.mode = "idle"
+        y_strings = self._flush_interleaved(batch)
+        self._x.encoder_chunks = []
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": (int(z_np.shape[1]), int(z_np.shape[2])),
+            "cost_time": time.perf_counter() - h["t0"],
+            "x_hat": x_hat,
+            "y_hat": y_hat,
+        }
+
     def compress(self, x, s: int = 0, inputscale: float = 0.0) -> dict:
         """x: [B,H,W,3] float in [0,1], H and W multiples of 64.
 
@@ -381,69 +526,18 @@ class Codec:
         overrides it with a continuous rate (reference
         ``mlicpp_vbr.py:535``); both are traced scalars — no recompile.
         """
+        if self.backend == "device":
+            return self.compress_end(self.compress_begin(x, s, inputscale))
+
         self._require_tables()
         batch = x.shape[0]
         t0 = time.perf_counter()
-        scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
-                                 jnp.asarray(inputscale, jnp.float32))
+        scale = self._scale_for(s, inputscale)
         z_qs = self._z_qs_for(s, inputscale)
         x = jnp.asarray(x)
         if x.dtype != jnp.uint8:
             x = x.astype(jnp.float32)
         y, z_symbols, z16 = self._analyze(self.params, x, z_qs)
-
-        if self.backend == "device":
-            # Dispatch the pure one-program encode FIRST (async), then do
-            # the z host work while the device computes.
-            enc_out = self._encode_pass(self.params, y, z_symbols, scale, z_qs)
-            x_hat, y_hat, sym16, sym8, idx, flags = enc_out
-            rans = (self._rans_encode(sym16, idx, self._dev_tables)
-                    if self.device_encode else None)
-            # One sync for the flags + z16 pair (a separate flags download
-            # costs a full tunnel round trip, ~30-40 ms in bad phases);
-            # int32 z re-fetched only on the rare z>int16 overflow.
-            flags_np, z_np = jax.device_get((flags, z16))
-            flags_np = np.asarray(flags_np)  # [sym>int16, sym>int8, z>int16]
-            if flags_np[2]:
-                z_np = np.asarray(z_symbols)
-            z_np = np.asarray(z_np).astype(np.int32)
-            z_strings = self._encode_z(z_np, z_qs, batch)
-            if rans is not None and not flags_np[0]:
-                y_strings = self._download_streams(rans, batch)
-                return {
-                    "strings": [y_strings, z_strings],
-                    "shape": (int(z_np.shape[1]), int(z_np.shape[2])),
-                    "cost_time": time.perf_counter() - t0,
-                    "x_hat": x_hat,
-                    "y_hat": y_hat,
-                }
-            if not flags_np[0]:
-                # Narrowest safe symbol download (axon: ~11 MB/s down).
-                sym = np.asarray(sym16 if flags_np[1] else sym8).astype(np.int32)
-                idx = np.asarray(idx)
-                n_phases = 2 * self.model.cfg.slice_num
-                n_per = sym.shape[1] // n_phases
-                self._x.encoder_chunks = [
-                    (sym[:, k * n_per:(k + 1) * n_per],
-                     idx[:, k * n_per:(k + 1) * n_per])
-                    for k in range(n_phases)]
-            else:
-                # int16 overflow (untrained/degenerate latents): redo the
-                # symbol collection through the int32 steps path.
-                self._x.mode = "encode"
-                self._x.encoder_chunks = []
-                x_hat, y_hat = self._run_codec(y, z_symbols, scale, z_qs)
-                jax.block_until_ready(x_hat)
-                self._x.mode = "idle"
-            y_strings = self._flush_interleaved(batch)
-            self._x.encoder_chunks = []
-            return {
-                "strings": [y_strings, z_strings],
-                "shape": (int(z_np.shape[1]), int(z_np.shape[2])),
-                "cost_time": time.perf_counter() - t0,
-                "x_hat": x_hat,
-                "y_hat": y_hat,
-            }
 
         # y: shared codec program in encode mode.
         z_np = np.asarray(z_symbols)
@@ -484,8 +578,7 @@ class Codec:
         then measures dispatch, not completion."""
         self._require_tables()
         t0 = time.perf_counter()
-        scale = self._gain_scale(self.params, jnp.asarray(s, jnp.int32),
-                                 jnp.asarray(inputscale, jnp.float32))
+        scale = self._scale_for(s, inputscale)
         z_qs = self._z_qs_for(s, inputscale)
         y_strings = strings[0]
         z_strings = strings[1]

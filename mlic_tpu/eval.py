@@ -124,7 +124,8 @@ def evaluate_codec_vbr(codec: Codec, images, save_dir: str,
 
 def evaluate_codec(codec: Codec, images: Iterable[np.ndarray], save_dir: str,
                    s: Optional[int] = None, log=print,
-                   extra_metrics: Optional[dict] = None) -> dict:
+                   extra_metrics: Optional[dict] = None,
+                   inputscale: float = 0.0) -> dict:
     """Round-trip every image through a real file; average metrics.
 
     ``extra_metrics``: optional {name: fn(x_hat, img) -> float} — e.g.
@@ -141,7 +142,7 @@ def evaluate_codec(codec: Codec, images: Iterable[np.ndarray], save_dir: str,
         if img.ndim == 3:
             img = img[None]
         path = os.path.join(save_dir, f"img_{i:03d}.bin")
-        enc = compress_one_image(codec, img, path, s=s)
+        enc = compress_one_image(codec, img, path, s=s, inputscale=inputscale)
         dec = decompress_one_image(codec, path, vbr=vbr)
         x_hat = np.clip(dec["x_hat"], 0.0, 1.0)
         if not np.array_equal(dec["x_hat"], enc["x_hat_enc"]):

@@ -541,7 +541,8 @@ class MLICPlusPlus(nn.Module):
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         return self.g_s(y_hat), y_hat
 
-    def codec_encode_pass(self, y, z_symbols, scale, z_qs=1.0):
+    def codec_encode_pass(self, y, z_symbols, scale, z_qs=1.0,
+                          with_recon: bool = True):
         """Pure (no-exchange) encode program: computes every phase's
         symbols/indexes in one jit.  The host packs the interleaved streams
         from two downloads (symbols, indexes) — no per-phase crossings.
@@ -550,6 +551,11 @@ class MLICPlusPlus(nn.Module):
         ``codec_device_pass``; cross-program bit-equality is asserted by the
         backend tests (and decode failures are detectable as reconstruction
         mismatch since the encoder also returns its x_hat).
+
+        ``with_recon=False`` skips the encode-side g_s synthesis (x_hat is
+        returned as None): the reference's ``compress`` never synthesizes
+        either (``mlicpp.py:199-290``), and g_s is ~30 ms/batch of pure
+        overhead when the caller only wants a bitstream (bench/serving).
 
         Returns (x_hat, y_hat, sym16 int16 [B,total], sym8 int8 [B,total],
         indexes_concat uint8 [B,total], flags int32 [3]) — the axon tunnel
@@ -601,7 +607,7 @@ class MLICPlusPlus(nn.Module):
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self.g_s(y_hat)
+        x_hat = self.g_s(y_hat) if with_recon else None
         sym32 = jnp.concatenate(syms, 1)
         amax = jnp.max(jnp.abs(sym32))
         flags = jnp.stack([amax > 32767, amax > 127,

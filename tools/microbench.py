@@ -131,6 +131,47 @@ def main():
         bench_mod("GlobalIntra", LinearGlobalIntraContext(dim=C), (sl, sl),
                   count=S - 1)
 
+    if which in ("all", "pass"):
+        # Whole codec_encode_pass as one scan body: true in-program cost of
+        # the 20-phase context stack INCLUDING the inter-module glue
+        # (concats, checkerboard squeezes, build_indexes, symbol packing) —
+        # the delta vs the module-sum is the glue share; the delta vs a
+        # single dispatched call is dispatch/runtime overhead.
+        from mlic_tpu.models.registry import get_model
+        model = get_model(name)
+        rngs = {"params": jax.random.key(1), "noise": jax.random.key(2)}
+        x0 = jnp.zeros((B, H, W, 3), jnp.float32)
+        params = jax.jit(lambda r, v: model.init(r, v, True))(rngs, x0)["params"]
+        jax.block_until_ready(params)
+        z0 = jnp.zeros((B, h // 4, w // 4, N), jnp.int32)
+        cls = type(model)
+        for recon in (True, False):
+            # NOTE: only syms consumed -> with recon=True XLA still DCEs
+            # g_s; the pair is kept to confirm that equivalence.
+            fn = lambda yy, _r=recon: model.apply(
+                {"params": params}, yy, z0, 1.0, 1.0, _r,
+                method=cls.codec_encode_pass)[3]
+            scan_time(f"codec_encode_pass(recon={recon})",
+                      fn, y_lat)
+        # Same executable, dispatched `reps` times back-to-back from the
+        # host with ONE final fence: the delta vs the in-scan figure is
+        # pure per-dispatch runtime overhead (axon queueing / co-tenant
+        # time-slicing), which a single-dispatch pipeline design avoids.
+        dfn = jax.jit(lambda yy: model.apply(
+            {"params": params}, yy, z0, 1.0, 1.0, False,
+            method=cls.codec_encode_pass)[3])
+        s8 = dfn(y_lat)
+        float(jnp.sum(s8.astype(jnp.int32)))  # compile + fence
+        t0 = time.perf_counter()
+        outs = [dfn(y_lat) for _ in range(reps)]
+        acc = sum(float(jnp.sum(o.astype(jnp.int32))) == 0 for o in outs[-1:])
+        ms = (time.perf_counter() - t0) / reps * 1000
+        del acc
+        rows.append({"module": "encode_pass dispatched xN, 1 fence",
+                     "ms_per_call": round(ms, 3), "calls_per_pass": 1,
+                     "ms_per_pass": round(ms, 3)})
+        print(f"{'encode_pass dispatched xN':36s} {ms:8.3f} ms", flush=True)
+
     if which == "all":
         bench_mod("h_s (HyperSynthesis)", HyperSynthesis(M=M, N=N), (z_lat,))
         bench_mod("g_s (SynthesisTransform)", SynthesisTransform(N=N, M=M),
