@@ -251,6 +251,8 @@ class Codec:
         The pad row (slot 0 carries ~all mass; pad symbols cost ~2e-5 bits
         each) is row ``n_rows-1`` in both layouts.
         """
+        import hashlib
+
         from mlic_tpu.entropy import parametric
         from mlic_tpu.entropy.device_rans import (
             device_tables,
@@ -258,9 +260,34 @@ class Codec:
         )
 
         params, lengths, offsets = parametric.gaussian_row_params(scale_table)
-        table = parametric.generate_tables(params, lengths)
-        if (parametric.validate_tables(table, lengths)
-                and parametric.self_check(params, table, lengths)):
+        # Disk cache: the parametric tables are a pure function of the
+        # scale table, but generating + validating + self-checking them
+        # costs device round trips that take minutes in degraded tunnel
+        # windows (measured update() 56 s -> 371 s same code).  A cache hit
+        # skips all device work (the entry was validated when written).
+        cache_dir = os.environ.get(
+            "MLIC_TABLE_CACHE",
+            os.path.expanduser("~/.cache/mlic_tpu_tables"))
+        key = hashlib.sha256(
+            np.ascontiguousarray(scale_table).tobytes()
+            + params.tobytes() + lengths.tobytes()).hexdigest()[:24]
+        cache_file = os.path.join(cache_dir, f"gauss_{key}.npz") if cache_dir else ""
+        table = None
+        if cache_file and os.path.exists(cache_file):
+            table = np.load(cache_file)["table"]
+        if table is None:
+            table = parametric.generate_tables(params, lengths)
+            if (parametric.validate_tables(table, lengths)
+                    and parametric.self_check(params, table, lengths)):
+                if cache_file:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    tmp = cache_file + f".tmp{os.getpid()}.npz"
+                    np.savez_compressed(tmp, table=np.asarray(table))
+                    os.replace(tmp, cache_file)
+            else:
+                table = None
+        if table is not None:
+            table = np.asarray(table)
             self._gc_ext = (table, lengths, offsets)
             self._dev_tables = parametric_device_tables(params, lengths,
                                                         offsets, table)

@@ -172,6 +172,62 @@ def main():
                      "ms_per_pass": round(ms, 3)})
         print(f"{'encode_pass dispatched xN':36s} {ms:8.3f} ms", flush=True)
 
+    if which == "decode":
+        # True in-program cost of codec_device_pass (context stack + rANS
+        # decode scan + g_s) on a REAL stream: compress one batch with the
+        # production codec, then scan-repeat the decode over it.
+        import numpy as np
+
+        from mlic_tpu.codec import Codec, _bucket
+        from mlic_tpu.entropy.rans.coder import parse_interleaved
+        from mlic_tpu.models.registry import get_model
+        model = get_model(name)
+        rngs = {"params": jax.random.key(1), "noise": jax.random.key(2)}
+        x0 = jnp.zeros((B, H, W, 3), jnp.float32)
+        params = jax.jit(lambda r, v: model.init(r, v, True))(rngs, x0)["params"]
+        ckpt = os.environ.get("MB_CKPT", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ckpts", "bench_default"))
+        if os.path.isdir(ckpt) and name == "MLICPP_S":
+            import orbax.checkpoint as ocp
+
+            from mlic_tpu.utils.checkpoint import load_matching
+            raw = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+            params = load_matching(params, raw.get("params", raw))
+        n_lanes = int(os.environ.get("MB_LANES", "512"))
+        codec = Codec(model, params, backend="device", n_lanes=n_lanes)
+        codec.update()
+        from mlic_tpu.data.folder import dead_leaves_pool
+        pool = dead_leaves_pool(B, H, seed=1303, width=W)
+        enc = codec.compress(pool[:B])
+        y_strings = enc["strings"][0]
+        z_np = np.stack([np.zeros((H // 64, W // 64, N), np.int16)] * B)
+        # reuse the encoder-side z (already int16-safe for trained models)
+        words_list, begins, escs = [], [], []
+        off = 0
+        for b in range(B):
+            wds, beg, esc = parse_interleaved(y_strings[b])
+            words_list.append(wds)
+            begins.append(beg.astype(np.int64) + off)
+            off += len(wds)
+        words = np.concatenate(words_list)
+        padded = np.zeros(_bucket(len(words)), np.uint16)
+        padded[:len(words)] = words
+        lane_begin = jnp.asarray(np.concatenate(begins).astype(np.int32))
+        w_dev = jnp.asarray(padded)
+        z_dev = jnp.asarray(z_np)
+        ev = jnp.zeros(1024, jnp.int32)
+        ebg = jnp.zeros(B, jnp.int32)
+        cls = type(model)
+
+        def dec_fn(zz):
+            return model.apply({"params": params}, zz, w_dev, lane_begin,
+                               codec._dev_tables, 1.0, n_lanes,
+                               codec._dev_n_steps, 1.0, ev, ebg,
+                               method=cls.codec_device_pass)[0]
+
+        scan_time(f"codec_device_pass(lanes={n_lanes})", dec_fn, z_dev)
+
     if which == "all":
         bench_mod("h_s (HyperSynthesis)", HyperSynthesis(M=M, N=N), (z_lat,))
         bench_mod("g_s (SynthesisTransform)", SynthesisTransform(N=N, M=M),
