@@ -150,7 +150,21 @@ def main(argv=None):
     if args.resume:
         tag = ckpt.latest_tag()
         if tag:
-            state = ckpt.restore(tag, state)
+            try:
+                state = ckpt.restore(tag, state)
+            except ValueError as e:
+                # Optimizer-tree mismatch (e.g. the checkpoint was written
+                # under a different lr-schedule config): fall back to a
+                # params+step restore with a fresh optimizer — the moment
+                # estimates rebuild within a few hundred steps.
+                print(f"strict resume failed ({type(e).__name__}); "
+                      "params-only restore with fresh optimizer state")
+                import orbax.checkpoint as ocp
+                raw = ocp.StandardCheckpointer().restore(
+                    os.path.join(os.path.abspath(work_dir), f"checkpoint_{tag}"))
+                state = state.replace(
+                    params=load_matching(state.params, raw["params"]),
+                    step=jnp.asarray(int(np.asarray(raw["step"])), jnp.int32))
             start_step = int(jax.device_get(state.step))
             print(f"resumed from step {start_step}")
 
