@@ -228,6 +228,50 @@ def main():
 
         scan_time(f"codec_device_pass(lanes={n_lanes})", dec_fn, z_dev)
 
+    if which == "train":
+        # Contention-cancelling interleaved A/B of the training step:
+        # fp32 vs bfloat16_mixed transforms, both as in-program scans in
+        # ONE session, alternated (VERDICT r2 weak #5).  ms/step each.
+        import dataclasses
+
+        from mlic_tpu.models.registry import get_model
+        from mlic_tpu.train.trainer import (TrainConfig, create_train_state,
+                                            make_train_step)
+        cfg_t = TrainConfig(lmbda=0.025)
+        batch = jax.random.uniform(jax.random.key(5), (B, 256, 256, 3))
+        variants = {}
+        for tdt in ("float32", "bfloat16_mixed"):
+            mdl = get_model(name)
+            mdl = type(mdl)(cfg=dataclasses.replace(mdl.cfg,
+                                                    transform_dtype=tdt))
+            state, tx = create_train_state(mdl, cfg_t,
+                                           input_shape=batch.shape)
+            step = make_train_step(mdl, tx, cfg_t)
+
+            def prog_fn(state=state, step=step):
+                def body(st, _):
+                    st2, _m = step(st, batch)
+                    return st2, None
+                return jax.lax.scan(body, state, None, length=reps)[0]
+
+            prog = jax.jit(prog_fn)
+            out = prog()
+            jax.block_until_ready(out.params)
+            float(jnp.sum(out.step.astype(jnp.float32)))  # fence
+            variants[tdt] = prog
+        # Interleave timed segments A/B/A/B to cancel window drift.
+        for seg in range(2):
+            for tdt, prog in variants.items():
+                t0 = time.perf_counter()
+                out = prog()
+                float(jnp.sum(out.step.astype(jnp.float32)))
+                ms = (time.perf_counter() - t0) / reps * 1000
+                rows.append({"module": f"train_step[{tdt}] seg{seg}",
+                             "ms_per_call": round(ms, 3),
+                             "calls_per_pass": 1, "ms_per_pass": round(ms, 3)})
+                print(f"train_step[{tdt}] seg{seg}: {ms:8.2f} ms/step",
+                      flush=True)
+
     if which == "all":
         bench_mod("h_s (HyperSynthesis)", HyperSynthesis(M=M, N=N), (z_lat,))
         bench_mod("g_s (SynthesisTransform)", SynthesisTransform(N=N, M=M),
