@@ -677,3 +677,42 @@ class Codec:
         self._x.decoders = []
         cost_time = time.perf_counter() - t0
         return {"x_hat": x_hat, "y_hat": y_hat, "cost_time": cost_time}
+
+    # ------------------------------------------------------------------
+    def roundtrip_stream(self, batches, s: int = 0, inputscale: float = 0.0,
+                         wait: bool = True):
+        """Serving pipeline: yield ``(enc, dec)`` per input batch with a
+        two-deep schedule — the device executes batch i+1's encode while
+        the host downloads/assembles batch i's streams and dispatches its
+        decode (device backend only; others degrade to sequential).
+
+        With ``wait=False`` the yielded ``dec["x_hat"]`` is an
+        un-materialized device array the caller fences itself."""
+        if self.backend != "device":
+            for x in batches:
+                enc = self.compress(x, s, inputscale)
+                yield enc, self.decompress(enc["strings"], enc["shape"], s,
+                                           inputscale)
+            return
+        it = iter(batches)
+        try:
+            h = self.compress_begin(next(it), s, inputscale)
+        except StopIteration:
+            return
+        pending = None  # (enc, dec) whose x_hat is still in flight
+        while h is not None:
+            nxt = next(it, None)
+            h_next = (self.compress_begin(nxt, s, inputscale)
+                      if nxt is not None else None)
+            enc = self.compress_end(h)
+            dec = self.decompress(enc["strings"], enc["shape"], s,
+                                  inputscale, wait=False)
+            if pending is not None:
+                if wait:
+                    jax.block_until_ready(pending[1]["x_hat"])
+                yield pending
+            pending = (enc, dec)
+            h = h_next
+        if wait:
+            jax.block_until_ready(pending[1]["x_hat"])
+        yield pending
