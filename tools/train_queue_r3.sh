@@ -17,7 +17,7 @@ l)
   run python tools/train.py --model MLICPP_L --synthetic \
     --synthetic-kind dead_leaves --lambda 0.0483 --steps 23000 \
     --batch-size 8 --patch-size 256 --exp-name l_flagship --resume \
-    --ckpt-every 1000 --log-freq 100 >> /tmp/q_l.log 2>&1
+    --ckpt-every 4000 --log-freq 200 >> /tmp/q_l.log 2>&1
   ;;
 vbr)
   # MLICPP_S_VBR: MGDA multi-rate training, warm-started from the trained
@@ -30,9 +30,9 @@ vbr)
   ;;
 ladder)
   # Deepen the 5-lambda MLICPP_S ladder: resume each exp to +17k steps.
-  for pair in "0.0035 rd_l0035 19500" "0.0067 rd_l0067b 19500" \
-              "0.013 rd_l013b 19500" "0.025 rd_l025b 19500" \
-              "0.0483 rd_l0483b 21000"; do
+  for pair in "0.0035 rd_l0035 11500" "0.0067 rd_l0067b 11000" \
+              "0.013 rd_l013b 11000" "0.025 rd_l025b 11000" \
+              "0.0483 rd_l0483b 12500"; do
     set -- $pair
     run python tools/train.py --model MLICPP_S --synthetic \
       --synthetic-kind dead_leaves --lambda $1 --steps $3 \
