@@ -62,8 +62,11 @@ CONFIGS: dict[str, ModelConfig] = {
     "MLICPP_M_SMALL_DEC_VBR": ModelConfig(
         "MLICPP_M_SMALL_DEC_VBR", N=192, M=320, slice_num=10, small_decoder=True,
         vbr=True, lmbda=_SD_VBR_LMBDA, gain_init=_SD_VBR_GAIN),
-    # Tiny config for tests / CI (not in the reference zoo).
+    # Tiny configs for tests / CI (not in the reference zoo).
     "MLICPP_TINY": ModelConfig("MLICPP_TINY", N=32, M=64, slice_num=2),
+    "MLICPP_TINY_VBR": ModelConfig(
+        "MLICPP_TINY_VBR", N=32, M=64, slice_num=2, vbr=True,
+        lmbda=(0.0018, 0.013, 0.0483), gain_init=(0.15, 0.4, 1.0)),
 }
 
 

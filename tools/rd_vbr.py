@@ -94,10 +94,13 @@ def main(argv=None):
     mono_rate = all(b2 >= b1 - 1e-4 for b1, b2 in zip(bpps, bpps[1:]))
     mono_psnr = all(p2 >= p1 - 0.05 for p1, p2 in zip(psnrs, psnrs[1:]))
 
+    # ms_ssim is NaN for images with min side < 176 — emit null, not the
+    # non-strict-JSON NaN literal.
+    _f = lambda v, nd: None if not np.isfinite(v) else round(float(v), nd)
     curve = {
         "psnr": [round(r["psnr"], 4) for r in pts],
         "bpp": [round(r["bpp"], 6) for r in pts],
-        "ms_ssim": [round(r["ms_ssim"], 6) for r in pts],
+        "ms_ssim": [_f(r["ms_ssim"], 6) for r in pts],
         "gain": [round(r["gain"], 6) for r in pts],
         "level": [r["level"] for r in pts],
         "kind": [r["kind"] for r in pts],
@@ -110,7 +113,7 @@ def main(argv=None):
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
-        json.dump(curve, f, indent=2)
+        json.dump(curve, f, indent=2, allow_nan=False)
     print(json.dumps(curve))
     if not (mono_rate and mono_psnr):
         print("WARNING: curve not monotone", file=sys.stderr)

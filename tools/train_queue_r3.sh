@@ -44,7 +44,7 @@ msssim)
   # One MS-SSIM-optimized point (reference ladder top, lambda=60.5).
   run python tools/train.py --model MLICPP_S --synthetic \
     --synthetic-kind dead_leaves --metrics ms-ssim --lambda 60.5 \
-    --steps 8000 --batch-size 8 --patch-size 256 --exp-name msssim_605 \
+    --steps 4000 --batch-size 8 --patch-size 256 --exp-name msssim_605 \
     --resume --pretrained ckpts/bench_default \
     --ckpt-every 1000 --log-freq 100 >> /tmp/q_msssim.log 2>&1
   ;;
