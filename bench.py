@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     import jax
+    if os.environ.get("BENCH_CPU", "0") == "1":
+        # the axon TPU plugin overrides JAX_PLATFORMS; force via config
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -176,6 +179,19 @@ def main():
         imgs_per_sec = n / elapsed
         bpp = total_bits / (n * h * w)
         extra["aggregation"] = "pipelined_aggregate"
+        # Sequential one-batch probe for the enc/dec split (the reference
+        # times encode and decode separately, utils/testing.py:403-424; in
+        # the pipeline they overlap, so the split is measured unpipelined).
+        tb = time.perf_counter()
+        enc = codec.compress(images[0])
+        te = time.perf_counter()
+        dec = codec.decompress(enc["strings"], enc["shape"])
+        checksum = float(jnp.sum(dec["x_hat"]))
+        assert np.isfinite(checksum)
+        td = time.perf_counter()
+        extra["enc_img_s"] = round(batch / (te - tb), 4)
+        extra["dec_img_s"] = round(batch / (td - te), 4)
+        extra["split"] = "sequential_probe_batch"
     else:
         batch_times = []
         enc_times = []
