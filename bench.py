@@ -150,23 +150,21 @@ def main():
     bpp = 0.0
     extra = {}
 
-    if pipeline and backend == "device":
+    def pipeline_run(imgs):
         # Two-deep software pipeline over the begin/end split: the device
         # executes programs back-to-back in dispatch order while the host
         # overlaps its stream downloads / z coding / parsing of batch i
         # with the device compute of batch i+1.  All work is counted — the
         # clock stops only after every x_hat checksum is fetched.
-        fences = []
+        bits = 0
         t0 = time.perf_counter()
-        h_enc = codec.compress_begin(images[1])
+        h_enc = codec.compress_begin(imgs[0])
         dec_pending = None  # (dec dict) awaiting checksum
-        for k in range(1, n_batches + 1):
-            if k + 1 <= n_batches:
-                nxt = codec.compress_begin(images[k + 1])
-            else:
-                nxt = None
+        for k in range(len(imgs)):
+            nxt = codec.compress_begin(imgs[k + 1]) if k + 1 < len(imgs) \
+                else None
             enc = codec.compress_end(h_enc)
-            total_bits += 8 * sum(len(s) for g in enc["strings"] for s in g)
+            bits += 8 * sum(len(s) for g in enc["strings"] for s in g)
             dec = codec.decompress(enc["strings"], enc["shape"], wait=False)
             if dec_pending is not None:
                 checksum = float(jnp.sum(dec_pending["x_hat"]))
@@ -175,10 +173,33 @@ def main():
             h_enc = nxt
         checksum = float(jnp.sum(dec_pending["x_hat"]))
         assert np.isfinite(checksum)
-        elapsed = time.perf_counter() - t0
+        return time.perf_counter() - t0, bits
+
+    if pipeline and backend == "device":
+        elapsed, total_bits = pipeline_run(images[1:n_batches + 1])
         imgs_per_sec = n / elapsed
         bpp = total_bits / (n * h * w)
         extra["aggregation"] = "pipelined_aggregate"
+        if not staged and os.environ.get("BENCH_STAGED_PROBE", "1") == "1":
+            # Device-resident-input probe: the reference's cost_time
+            # semantics (its compress is timed with the tensor already on
+            # the GPU, mlicpp.py:199-201).  The main number above counts
+            # the host->device image upload through the dev tunnel
+            # (1.5-60 MB/s weather), which a production-attached TPU would
+            # not pay; this probe isolates codec capability from the link.
+            # Inputs are staged cheaply by uploading the frame pool once
+            # and gathering batches on-device.
+            dev = jax.devices()[0]
+            if content == "dead_leaves":
+                pool_dev = jax.device_put(np.asarray(pool), dev)
+                st_imgs = [pool_dev[jnp.asarray(
+                    [(k * batch + i) % len(pool) for i in range(batch)])]
+                    for k in range(3)]
+            else:
+                st_imgs = [jax.device_put(images[k], dev) for k in range(3)]
+            jax.block_until_ready(st_imgs)
+            st_elapsed, _ = pipeline_run(st_imgs)
+            extra["staged_img_s"] = round(3 * batch / st_elapsed, 4)
         # Sequential one-batch probe for the enc/dec split (the reference
         # times encode and decode separately, utils/testing.py:403-424; in
         # the pipeline they overlap, so the split is measured unpipelined).
