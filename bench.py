@@ -189,17 +189,21 @@ def main():
             # not pay; this probe isolates codec capability from the link.
             # Inputs are staged cheaply by uploading the frame pool once
             # and gathering batches on-device.
-            dev = jax.devices()[0]
-            if content == "dead_leaves":
-                pool_dev = jax.device_put(np.asarray(pool), dev)
-                st_imgs = [pool_dev[jnp.asarray(
-                    [(k * batch + i) % len(pool) for i in range(batch)])]
-                    for k in range(3)]
-            else:
-                st_imgs = [jax.device_put(images[k], dev) for k in range(3)]
-            jax.block_until_ready(st_imgs)
-            st_elapsed, _ = pipeline_run(st_imgs)
-            extra["staged_img_s"] = round(3 * batch / st_elapsed, 4)
+            try:
+                dev = jax.devices()[0]
+                if content == "dead_leaves":
+                    pool_dev = jax.device_put(np.asarray(pool), dev)
+                    st_imgs = [pool_dev[jnp.asarray(
+                        [(k * batch + i) % len(pool) for i in range(batch)])]
+                        for k in range(3)]
+                else:
+                    st_imgs = [jax.device_put(images[k], dev)
+                               for k in range(3)]
+                jax.block_until_ready(st_imgs)
+                st_elapsed, _ = pipeline_run(st_imgs)
+                extra["staged_img_s"] = round(3 * batch / st_elapsed, 4)
+            except Exception as e:  # the probe must never sink the bench
+                extra["staged_probe_error"] = repr(e)[:200]
         # Sequential one-batch probe for the enc/dec split (the reference
         # times encode and decode separately, utils/testing.py:403-424; in
         # the pipeline they overlap, so the split is measured unpipelined).

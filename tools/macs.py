@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def decoder_cost(model_name: str, h: int = 1088, w: int = 1920,
-                 cpu: bool = True) -> dict:
+                 cpu: bool = True, depthwise: bool | None = None) -> dict:
     import jax
     if cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -25,6 +25,10 @@ def decoder_cost(model_name: str, h: int = 1088, w: int = 1920,
     from mlic_tpu.models.registry import get_model
 
     model = get_model(model_name)
+    if depthwise is not None:
+        import dataclasses
+        model = type(model)(cfg=dataclasses.replace(model.cfg,
+                                                    depthwise=depthwise))
     x = jnp.zeros((1, h, w, 3), jnp.float32)
     params = jax.jit(lambda r, v: model.init(r, v, True))(
         {"params": jax.random.key(0), "noise": jax.random.key(1)}, x)["params"]
@@ -49,8 +53,14 @@ def main(argv=None):
     p.add_argument("--model", default="MLICPP_S")
     p.add_argument("--height", type=int, default=1088)
     p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--dense", action="store_true",
+                   help="normal convs (depthwise=False), the published "
+                        "MLIC++ weights' variant")
     args = p.parse_args(argv)
-    out = decoder_cost(args.model, args.height, args.width)
+    out = decoder_cost(args.model, args.height, args.width,
+                       depthwise=False if args.dense else None)
+    if args.dense:
+        out["convs"] = "dense"
     print({k: round(v, 3) if isinstance(v, float) else v for k, v in out.items()})
 
 

@@ -176,8 +176,9 @@ def main(argv=None):
     pool = None
     if (args.synthetic or not args.dataset) and args.synthetic_kind == "dead_leaves":
         from mlic_tpu.data.folder import dead_leaves_pool
-        print(f"rendering dead-leaves pool ({args.pool_size} x "
-              f"{args.pool_image_size}^2)...", flush=True)
+        print(f"dead-leaves pool ({args.pool_size} x "
+              f"{args.pool_image_size}^2, disk-cached after first render)...",
+              flush=True)
         pool = dead_leaves_pool(args.pool_size, args.pool_image_size,
                                 seed=args.seed)
 
