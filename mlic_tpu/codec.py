@@ -166,13 +166,16 @@ class Codec:
                     method=cls.codec_encode_pass))
             # On-device rANS encode: download ∝ compressed bytes instead of
             # per-symbol arrays (MLIC_DEVICE_ENCODE=0 restores host encode).
+            # Streams are format v3 (global emission order): no per-lane
+            # begin table — 4 B/lane smaller files AND the per-lane
+            # metadata round trips shrink to one word count per image.
             from mlic_tpu.entropy.device_rans import encode_interleaved_device
             self.device_encode = os.environ.get(
                 "MLIC_DEVICE_ENCODE", "1") == "1"
             n_ph = 2 * model.cfg.slice_num
             self._rans_encode = jax.jit(
                 lambda sym, idx, tables: encode_interleaved_device(
-                    sym, idx, tables, n_lanes, n_ph))
+                    sym, idx, tables, n_lanes, n_ph, fmt="global"))
 
             # ONE-dispatch encode: analyze + context pass + device rANS in
             # a single program.  On the shared axon runtime each dispatched
@@ -188,7 +191,7 @@ class Codec:
                                   method=cls.codec_encode_pass)
                 x_hat, y_hat, sym16, sym8, idx, flags = out
                 rans = encode_interleaved_device(sym16, idx, tables,
-                                                 n_lanes, n_ph)
+                                                 n_lanes, n_ph, fmt="global")
                 return {"y": y, "z_symbols": z_symbols, "z16": z16,
                         "x_hat": x_hat, "y_hat": y_hat, "sym16": sym16,
                         "sym8": sym8, "idx": idx, "flags": flags,
@@ -345,9 +348,10 @@ class Codec:
     # ------------------------------------------------------------------
     def _flush_interleaved(self, batch: int) -> list[bytes]:
         """Pack buffered per-phase symbols into per-image interleaved
-        rans16 streams (device-decodable layout: each phase padded to a
-        multiple of n_lanes with pad-row symbols)."""
-        from mlic_tpu.entropy.rans.coder import encode_interleaved
+        rans16 streams — format v3 (global emission order), matching the
+        device encoder byte-for-byte (each phase padded to a multiple of
+        n_lanes with pad-row symbols)."""
+        from mlic_tpu.entropy.rans.coder import encode_global
         cdfs, lengths, offsets = self._gc_ext
         pad_row = len(lengths) - 1
         streams = []
@@ -362,7 +366,7 @@ class Codec:
                     i = np.concatenate([i, np.full(pad, pad_row, np.int32)])
                 syms.append(s)
                 idxs.append(i)
-            streams.append(encode_interleaved(
+            streams.append(encode_global(
                 np.concatenate(syms), np.concatenate(idxs), self.n_lanes,
                 cdfs, lengths, offsets))
         return streams
@@ -384,26 +388,29 @@ class Codec:
 
     def _download_streams(self, rans: dict, batch: int,
                           extra_fetch: tuple = ()) -> list[bytes] | tuple:
-        """Fetch the device-encoded streams: per-lane metadata (KBs) plus
-        bucket-rounded slices of the word/escape buffers (∝ compressed
-        bytes), then assemble the per-image format-v2 streams on the host
-        — byte-identical to ``coder.encode_interleaved``'s output.
+        """Fetch the device-encoded streams: per-image word counts (B
+        int32s — format v3 has no per-lane metadata) plus bucket-rounded
+        slices of the word/escape buffers (∝ compressed bytes), then
+        assemble the per-image format-v3 streams on the host —
+        byte-identical to ``coder.encode_global``'s output.
 
         Steady state costs ONE synchronous device->host fetch: the word
         buffer is speculatively sliced at the ratcheted bucket from the
-        previous batch and fetched TOGETHER with the lane metadata (and any
+        previous batch and fetched TOGETHER with the image metadata (and any
         ``extra_fetch`` arrays the caller wants in the same round trip);
         only when a batch's stream outgrows the ratchet (which then grows,
         so at most a handful of times per session) is a tail fetch needed.
         Each synchronous fetch on the shared axon runtime costs a tunnel
         round trip PLUS a rescheduling stall in contended windows — the
         fetch count, not the byte count, dominates."""
+        from mlic_tpu.entropy.rans.coder import _V3_FLAG
         nl = self.n_lanes
         spec_bucket = getattr(self, "_enc_words_bucket", 0)
-        fetch = [rans["lane_begin"], rans["lane_n"], rans["ecount"],
+        fetch = [rans["img_n"], rans["ecount"],
                  rans["buf"][:spec_bucket]] + list(extra_fetch)
-        lane_begin, lane_n, ecount, buf0, *extra = jax.device_get(fetch)
-        total = int(lane_begin[-1] + lane_n[-1])
+        img_n, ecount, buf0, *extra = jax.device_get(fetch)
+        img_begin = np.concatenate([[0], np.cumsum(img_n)[:-1]]).astype(np.int64)
+        total = int(img_begin[-1] + img_n[-1])
         etotal = int(ecount.sum())
         self._enc_words_bucket = min(
             max(spec_bucket, _dl_bucket(total)), rans["buf"].shape[0])
@@ -424,13 +431,10 @@ class Codec:
         eb = np.concatenate([[0], np.cumsum(ecount)]).astype(np.int64)
         streams = []
         for b in range(batch):
-            lo, hi = b * nl, (b + 1) * nl
-            w0 = int(lane_begin[lo])
-            w1 = int(lane_begin[hi - 1] + lane_n[hi - 1])
-            begins = (lane_begin[lo:hi] - w0).astype(np.uint32)
-            header = np.asarray([nl, w1 - w0, int(ecount[b])],
-                                np.uint32).tobytes()
-            body = begins.tobytes() + buf[w0:w1].tobytes()
+            w0, w1 = int(img_begin[b]), int(img_begin[b] + img_n[b])
+            header = np.asarray([np.uint32(nl) | _V3_FLAG, w1 - w0,
+                                 int(ecount[b])], np.uint32).tobytes()
+            body = buf[w0:w1].tobytes()
             if len(body) % 4:
                 body += b"\x00\x00"
             streams.append(header + body
@@ -627,14 +631,17 @@ class Codec:
             zdt = (np.int16 if np.abs(z_symbols).max(initial=0) <= 32767
                    else np.int32)
             z_symbols = jnp.asarray(z_symbols.astype(zdt))
-            from mlic_tpu.entropy.rans.coder import parse_interleaved
-            words_list, begins, escs, esc_begins = [], [], [], []
+            from mlic_tpu.entropy.rans.coder import parse_global
+            words_list, img_begins, escs, esc_begins = [], [], [], []
             offset = 0
             esc_off = 0
             for b in range(batch):
-                wds, beg, esc = parse_interleaved(y_strings[b])
+                s_lanes, wds, esc = parse_global(y_strings[b])
+                assert s_lanes == self.n_lanes, (
+                    f"stream has {s_lanes} lanes, codec built for "
+                    f"{self.n_lanes}")
                 words_list.append(wds)
-                begins.append(beg.astype(np.int64) + offset)
+                img_begins.append(offset)
                 offset += len(wds)
                 escs.append(esc)
                 esc_begins.append(esc_off)
@@ -643,7 +650,7 @@ class Codec:
             self._words_bucket = max(self._words_bucket, _bucket(len(words)))
             padded = np.zeros(self._words_bucket, np.uint16)
             padded[:len(words)] = words
-            lane_begin = np.concatenate(begins).astype(np.int32)
+            img_begin = np.asarray(img_begins, np.int32)
             self._esc_bucket = max(self._esc_bucket,
                                    _bucket(max(esc_off, 1), minimum=1024))
             esc_values = np.zeros(self._esc_bucket, np.int32)
@@ -651,7 +658,7 @@ class Codec:
                 esc_values[:esc_off] = np.concatenate(escs)
             x_hat, y_hat = self._device_pass(
                 self.params, z_symbols, jnp.asarray(padded),
-                jnp.asarray(lane_begin), self._dev_tables, scale,
+                jnp.asarray(img_begin), self._dev_tables, scale,
                 self._dev_n_steps, z_qs, jnp.asarray(esc_values),
                 jnp.asarray(np.asarray(esc_begins, np.int32)))
             if wait:

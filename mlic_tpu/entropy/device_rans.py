@@ -19,12 +19,17 @@ Two lookup strategies, selected by the structure of the ``tables`` dict:
   gathers bound the round-1 scan — kept as the fallback the codec uses
   when the parametric self-check fails, and for non-Gaussian CDFs).
 
-Escape handling (format v2): out-of-support values travel in a plain int32
-side channel of the stream, NOT as in-lane bypass digits — the scan body
-has no data-dependent control flow at all (the round-1 per-step
+Escape handling (formats v2/v3): out-of-support values travel in a plain
+int32 side channel of the stream, NOT as in-lane bypass digits — the scan
+body has no data-dependent control flow at all (the round-1 per-step
 ``lax.cond`` + masked bypass loop cost ~0.4 ms/step even with zero
 escapes).  The decode scan flags escape positions and one vectorized
 post-pass patches the values in.
+
+Stream layouts: format v2 stores per-lane contiguous word blocks plus a
+4 B/lane begin table; format v3 ("global emission order", the production
+codec format since r3) drops the begin table entirely — see
+``compact_streams_global`` and ``coder.encode_global``.
 
 Everything is uint32 math under ``jax.jit``; no host callbacks.
 """
@@ -117,9 +122,41 @@ def _renorm(x, ptr, words):
     return x, ptr
 
 
+def rans_init_global(words: jax.Array, img_begin: jax.Array, n_lanes: int):
+    """Format-v3 init: each image's block opens with its 2*n_lanes state
+    words ([hi, lo] per lane, lane-ascending).  img_begin: int32 [B] word
+    offsets of each image's block.  Returns (x uint32 [B*n_lanes],
+    img_ptr int32 [B] first-renorm-word pointers)."""
+    B = img_begin.shape[0]
+    li = jnp.tile(jnp.arange(n_lanes, dtype=jnp.int32), B)
+    base = jnp.repeat(img_begin, n_lanes) + 2 * li
+    w0 = words[base].astype(jnp.uint32)
+    w1 = words[base + 1].astype(jnp.uint32)
+    x = (w0 << 16) | w1
+    return x, img_begin + 2 * n_lanes
+
+
+def _renorm_global(x, img_ptr, words):
+    """Global-emission-order renorm: at each step the lanes that consume a
+    word read them in lane-ascending order from a single per-image pointer
+    (position = ptr + rank among the step's consuming lanes) — no per-lane
+    begin table exists in format v3."""
+    B = img_ptr.shape[0]
+    lanes = x.shape[0] // B
+    need = x < _RANS_L
+    need_i = need.reshape(B, lanes).astype(jnp.int32)
+    rank = jnp.cumsum(need_i, axis=1) - need_i          # exclusive, per image
+    pos = (img_ptr[:, None] + rank).reshape(-1)
+    w = words[jnp.minimum(pos, words.shape[0] - 1)].astype(jnp.uint32)
+    x = jnp.where(need, (x << 16) | w, x)
+    img_ptr = img_ptr + jnp.sum(need_i, axis=1)
+    return x, img_ptr
+
+
 def make_decoder(words: jax.Array, n_steps: int = 12,
                  esc_values: jax.Array | None = None,
-                 esc_begin: jax.Array | None = None):
+                 esc_begin: jax.Array | None = None,
+                 fmt: str = "lanes", n_lanes: int = 0):
     """Bind a stream buffer; returns (init_fn, decode_fn).
 
     decode_fn(carry, indexes, tables) decodes ``indexes.size`` symbols
@@ -128,8 +165,19 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
     ``device_tables`` (LUT fallback).  ``n_steps`` is the static bisection
     depth for the parametric path (``parametric.bisect_steps``).
 
-    Escapes (format v2): the scan never branches — escape lanes advance with
-    the escape slot and flag the position; the raw values come from the
+    ``fmt`` selects the stream layout:
+
+    * ``"lanes"`` (format v2): per-lane contiguous word blocks;
+      ``init_fn(lane_begin)`` takes int32 [L] per-lane word offsets.
+    * ``"global"`` (format v3): one stream per image in global emission
+      order — 2*n_lanes state words then renorm words in (step, lane)
+      consumption order; ``init_fn(img_begin)`` takes int32 [B] per-image
+      block offsets.  No per-lane begin table exists (4 B/lane smaller
+      streams; the word positions are recovered from the per-step
+      consumption mask itself).  Requires ``n_lanes``.
+
+    Escapes: the scan never branches — escape lanes advance with the
+    escape slot and flag the position; the raw values come from the
     int32 side channel ``esc_values`` (``esc_begin``: per-image start
     offsets, one entry per image; images own ``lane_count/len(esc_begin)``
     consecutive lanes) in ONE vectorized patch per decode call.  Defaults:
@@ -139,10 +187,19 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
         esc_values = jnp.zeros((1,), jnp.int32)
     if esc_begin is None:
         esc_begin = jnp.zeros((1,), jnp.int32)
+    if fmt == "global":
+        assert n_lanes > 0, "global format needs the per-image lane count"
+        renorm = lambda x, p: _renorm_global(x, p, words)
 
-    def init(lane_begin):
-        x, ptr = rans_init(words, lane_begin)
-        return x, ptr, jnp.zeros_like(esc_begin)
+        def init(img_begin):
+            x, ptr = rans_init_global(words, img_begin, n_lanes)
+            return x, ptr, jnp.zeros_like(esc_begin)
+    else:
+        renorm = lambda x, p: _renorm(x, p, words)
+
+        def init(lane_begin):
+            x, ptr = rans_init(words, lane_begin)
+            return x, ptr, jnp.zeros_like(esc_begin)
 
     def _step_lut(tables):
         lut_sf = tables["lut_sf"]
@@ -158,7 +215,7 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
             start = sf & _MASK16
             freq = sf >> 16
             x = freq * (x >> 16) + (x & _MASK16) - start
-            x, ptr = _renorm(x, ptr, words)
+            x, ptr = renorm(x, ptr)
             esc = slot == max_value_t[row]
             return (x, ptr), (slot + offsets_t[row], esc)
 
@@ -195,7 +252,7 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
             start = jnp.where(esc, total_m1, v_lo).astype(jnp.uint32)
             freq = jnp.where(esc, 1, v_hi - v_lo).astype(jnp.uint32)
             x = freq * (x >> 16) + (x & _MASK16) - start
-            x, ptr = _renorm(x, ptr, words)
+            x, ptr = renorm(x, ptr)
             return (x, ptr), (lo + offsets_t[row], esc)
 
         return step
@@ -328,6 +385,58 @@ def compact_streams(x, words, emits, esc, sym, n_images: int):
             "ebuf": ebuf, "ecount": ecount}
 
 
+def compact_streams_global(x, words, emits, esc, sym, n_images: int):
+    """Format-v3 compaction: per-image word blocks in GLOBAL EMISSION ORDER
+    — 2*n_lanes state words ([hi, lo] per lane, lane-ascending) followed by
+    the renorm words in (step-major, lane-minor) consumption order.  The
+    emission mask during encode at position (s, l) equals the renorm mask
+    during decode at the same position (rANS LIFO duality — the same fact
+    format v2's per-lane forward ordering relies on), so the decoder
+    recovers every word position from its own per-step consumption ranks
+    and NO per-lane begin table is stored: streams shrink by 4 B/lane
+    (0.042 bpp at Kodak size, 512 lanes) and the host parse disappears.
+
+    Returns dict of device arrays:
+      buf    uint16 [S*L + 2L + 1] words; image b occupies
+             [img_begin[b], img_begin[b] + img_n[b])
+      img_n  int32 [n_images] words per image (incl. 2*n_lanes state words)
+      ebuf   int32 [S*L + 1] escape values, per-image blocks
+      ecount int32 [n_images]
+    """
+    S, L = emits.shape
+    nl = L // n_images
+    # (step, image, lane) -> per-image (step-major, lane-minor) emission order
+    em_i = emits.reshape(S, n_images, nl).transpose(1, 0, 2).reshape(n_images, -1)
+    wd_i = words.reshape(S, n_images, nl).transpose(1, 0, 2).reshape(n_images, -1)
+    e = em_i.astype(jnp.int32)
+    prefix = jnp.cumsum(e, axis=1) - e                   # exclusive, per image
+    img_n = jnp.sum(e, axis=1) + 2 * nl
+    img_begin = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(img_n)[:-1].astype(jnp.int32)])
+    cap = S * L + 2 * L
+    pos = jnp.where(em_i, img_begin[:, None] + 2 * nl + prefix, cap)
+    buf = jnp.zeros((cap + 1,), jnp.uint16)
+    buf = buf.at[pos.reshape(-1)].set(wd_i.reshape(-1), mode="drop")
+    xs = x.reshape(n_images, nl)                         # lane axis is image-major
+    spos = img_begin[:, None] + 2 * jnp.arange(nl, dtype=jnp.int32)[None, :]
+    buf = buf.at[spos.reshape(-1)].set((xs >> 16).astype(jnp.uint16).reshape(-1))
+    buf = buf.at[(spos + 1).reshape(-1)].set(
+        (xs & _MASK16).astype(jnp.uint16).reshape(-1))
+
+    esc_i = esc.reshape(S, n_images, nl).transpose(1, 0, 2).reshape(n_images, -1)
+    sym_i = sym.reshape(S, n_images, nl).transpose(1, 0, 2).reshape(n_images, -1)
+    ei = esc_i.astype(jnp.int32)
+    eprefix = jnp.cumsum(ei, axis=1) - ei
+    ecount = jnp.sum(ei, axis=1)
+    ebegin = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ecount)[:-1].astype(jnp.int32)])
+    ecap = S * L
+    epos = jnp.where(esc_i, ebegin[:, None] + eprefix, ecap)
+    ebuf = jnp.zeros((ecap + 1,), jnp.int32)
+    ebuf = ebuf.at[epos.reshape(-1)].set(sym_i.reshape(-1), mode="drop")
+    return {"buf": buf, "img_n": img_n, "ebuf": ebuf, "ecount": ecount}
+
+
 def phase_order(flat: jax.Array, n_lanes: int, pad_row: int,
                 pad_value: int = 0):
     """[B, n] per-phase values -> [steps, B*n_lanes] position order (the
@@ -342,7 +451,8 @@ def phase_order(flat: jax.Array, n_lanes: int, pad_row: int,
 
 
 def encode_interleaved_device(sym: jax.Array, idx: jax.Array,
-                              tables: dict, n_lanes: int, n_phases: int):
+                              tables: dict, n_lanes: int, n_phases: int,
+                              fmt: str = "lanes"):
     """Full device encode of the codec's concatenated per-phase symbols.
 
     Args:
@@ -351,7 +461,8 @@ def encode_interleaved_device(sym: jax.Array, idx: jax.Array,
       idx: [B, total] CDF row ids (any int dtype).
       tables: decode-table dict (shared with the decoder).
       n_lanes: lanes per image; n_phases: static phase count.
-    Returns the ``compact_streams`` dict.
+      fmt: "lanes" (v2 per-lane blocks) or "global" (v3 emission order).
+    Returns the ``compact_streams`` / ``compact_streams_global`` dict.
     """
     b, total = sym.shape
     n_per = total // n_phases
@@ -366,4 +477,6 @@ def encode_interleaved_device(sym: jax.Array, idx: jax.Array,
                      pad_row)
          for k in range(n_phases)], axis=0)
     x, words, emits, esc = encode_lanes(sym_steps, row_steps, tables)
+    if fmt == "global":
+        return compact_streams_global(x, words, emits, esc, sym_steps, b)
     return compact_streams(x, words, emits, esc, sym_steps, b)

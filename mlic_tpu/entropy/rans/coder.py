@@ -356,6 +356,136 @@ def decode_interleaved(stream: bytes, indexes, cdfs, cdf_lengths, offsets) -> np
     return out
 
 
+# ----------------------------------------------------------------------
+# Interleaved format v3: GLOBAL EMISSION ORDER.
+#
+# Byte layout: uint32 (n_lanes | 0x80000000) | uint32 n_words |
+# uint32 n_escapes | uint16 words[n_words] | pad to 4B |
+# int32 esc_values[n_escapes] — little-endian.
+#
+# words = [lane 0 state hi, lane 0 state lo, ..., lane L-1 state lo]
+# followed by the renorm words in (step-major, lane-minor) DECODER
+# CONSUMPTION order.  rANS LIFO duality makes the encoder's emission mask
+# at position (s, l) equal the decoder's renorm mask at the same position,
+# so no per-lane begin table is needed (4 B/lane smaller than v2) and the
+# decoder recovers word positions from its own per-step consumption ranks.
+# Device mirror: ``device_rans.compact_streams_global`` / ``fmt="global"``.
+# ----------------------------------------------------------------------
+
+_V3_FLAG = np.uint32(1 << 31)
+
+
+def stream_is_global(stream: bytes) -> bool:
+    """True if a y-stream is format v3 (global emission order)."""
+    return bool(np.frombuffer(stream[:4], dtype=np.uint32)[0] & _V3_FLAG)
+
+
+def encode_global(symbols, indexes, n_lanes: int, cdfs, cdf_lengths,
+                  offsets) -> bytes:
+    """Format-v3 encode (vectorized numpy; host fallback + test oracle).
+
+    Same contract as ``encode_interleaved``: ``len(symbols)`` must be a
+    multiple of ``n_lanes`` (callers pad phases with pad-row symbols), and
+    out-of-support values advance the lane with the escape slot while the
+    raw value travels in the int32 side channel in position order.
+    """
+    symbols = _as_i32(symbols).ravel()
+    indexes = _as_i32(indexes).ravel()
+    cdfs = _as_i32(cdfs)
+    cdf_lengths = _as_i32(cdf_lengths).ravel()
+    offsets = _as_i32(offsets).ravel()
+    n = len(symbols)
+    assert n % n_lanes == 0, "symbol count must be a lane multiple"
+    S = n // n_lanes
+    sym = symbols.reshape(S, n_lanes)
+    row = indexes.reshape(S, n_lanes)
+    mv = cdf_lengths[row] - 2
+    off = offsets[row]
+    v = sym - off
+    esc = (v < 0) | (v >= mv)
+    slot = np.where(esc, mv, v)
+    start = cdfs[row, slot].astype(np.uint64)
+    freq = cdfs[row, slot + 1].astype(np.uint64) - start
+    x = np.full(n_lanes, 1 << PROB_BITS, np.uint64)
+    emits = np.zeros((S, n_lanes), bool)
+    words = np.zeros((S, n_lanes), np.uint16)
+    for s in range(S - 1, -1, -1):  # rANS is LIFO: encode in reverse
+        fr, st = freq[s], start[s]
+        emit = x >= (fr << 16)
+        words[s] = (x & _MASK16).astype(np.uint16)
+        x = np.where(emit, x >> 16, x)
+        x = ((x // fr) << PROB_BITS) + (x % fr) + st
+        emits[s] = emit
+    states = np.empty(2 * n_lanes, np.uint16)
+    states[0::2] = (x >> 16).astype(np.uint16)
+    states[1::2] = (x & _MASK16).astype(np.uint16)
+    # boolean-mask flatten is row-major == (step-major, lane-minor) order
+    allw = np.concatenate([states, words[emits]])
+    esc_vals = sym[esc].astype(np.int32)
+    header = np.asarray([np.uint32(n_lanes) | _V3_FLAG, len(allw),
+                         len(esc_vals)], dtype=np.uint32).tobytes()
+    body = allw.tobytes()
+    if len(body) % 4:
+        body += b"\x00\x00"
+    return header + body + esc_vals.tobytes()
+
+
+def parse_global(stream: bytes):
+    """-> (n_lanes, words uint16 [n_words], esc_values int32 [n_escapes])."""
+    head = np.frombuffer(stream[:12], dtype=np.uint32)
+    assert head[0] & _V3_FLAG, "not a format-v3 stream"
+    n_lanes = int(head[0] & ~_V3_FLAG)
+    n_words, n_esc = int(head[1]), int(head[2])
+    off = 12
+    words = np.frombuffer(stream[off:off + 2 * n_words], dtype=np.uint16)
+    off += 2 * n_words
+    if off % 4:
+        off += 2
+    esc = np.frombuffer(stream[off:off + 4 * n_esc], dtype=np.int32)
+    return n_lanes, words, esc
+
+
+def decode_global(stream: bytes, indexes, cdfs, cdf_lengths,
+                  offsets) -> np.ndarray:
+    """Host reference decode of format v3 (per-symbol loop; test oracle —
+    the production decode path is ``device_rans`` ``fmt="global"``)."""
+    n_lanes, words, esc_vals = parse_global(stream)
+    indexes = _as_i32(indexes).ravel()
+    cdfs = _as_i32(cdfs)
+    cdf_lengths = _as_i32(cdf_lengths).ravel()
+    offsets = _as_i32(offsets).ravel()
+    n = len(indexes)
+    assert n % n_lanes == 0
+    S = n // n_lanes
+    row = indexes.reshape(S, n_lanes)
+    x = np.empty(n_lanes, np.uint64)
+    for l in range(n_lanes):
+        x[l] = (np.uint64(words[2 * l]) << np.uint64(16)) | np.uint64(
+            words[2 * l + 1])
+    ptr = 2 * n_lanes
+    out = np.empty((S, n_lanes), np.int32)
+    k = 0
+    for s in range(S):
+        for l in range(n_lanes):  # lane-ascending consumption within a step
+            r = int(row[s, l])
+            crow = cdfs[r]
+            cf = int(x[l] & np.uint64(_MASK16))
+            slot = int(np.searchsorted(crow[:cdf_lengths[r]], cf,
+                                       side="right") - 1)
+            start, freq = int(crow[slot]), int(crow[slot + 1] - crow[slot])
+            x[l] = (np.uint64(freq) * (x[l] >> np.uint64(16))
+                    + np.uint64(cf - start))
+            if x[l] < np.uint64(1 << PROB_BITS):
+                x[l] = (x[l] << np.uint64(16)) | np.uint64(words[ptr])
+                ptr += 1
+            if slot == int(cdf_lengths[r]) - 2:   # escape
+                out[s, l] = esc_vals[k]
+                k += 1
+            else:
+                out[s, l] = slot + offsets[r]
+    return out.reshape(-1)
+
+
 class BufferedRansEncoder:
     """Accumulates (symbols, indexes) chunks; encodes everything at flush().
 

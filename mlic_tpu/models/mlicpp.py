@@ -454,7 +454,7 @@ class MLICPlusPlus(nn.Module):
         x_hat = self.g_s(y_hat)
         return x_hat, y_hat
 
-    def codec_device_pass(self, z_symbols, words, lane_begin, tables,
+    def codec_device_pass(self, z_symbols, words, img_begin, tables,
                           scale, n_lanes: int, n_steps: int = 12, z_qs=1.0,
                           esc_values=None, esc_begin=None):
         """Single-program decompress with ON-DEVICE interleaved rANS.
@@ -470,7 +470,9 @@ class MLICPlusPlus(nn.Module):
           words: uint16 [W] concatenated stream words (all images); widened
             to int32 on device — the axon tunnel uploads at ~32 MB/s, so
             buffer bytes are latency.
-          lane_begin: int32 [B*n_lanes] per-lane word offsets into ``words``.
+          img_begin: int32 [B] per-image word-block offsets into ``words``
+            (stream format v3, global emission order — no per-lane begin
+            table exists; ``entropy/rans/coder.py`` ``encode_global``).
           tables: decode-table dict — ``device_rans.parametric_device_tables``
             (gather-free analytic cdf path) or ``device_rans.device_tables``
             (LUT fallback) — built WITH the extra pad row appended
@@ -478,7 +480,7 @@ class MLICPlusPlus(nn.Module):
           scale: VBR gain (1.0 fixed-rate).
           n_steps: static bisection depth for the parametric path.
           esc_values/esc_begin: int32 escape side channel (concatenated
-            values + per-image offsets; stream format v2).
+            values + per-image offsets).
         Returns: (x_hat, y_hat)
         """
         from mlic_tpu.entropy.device_rans import make_decoder
@@ -495,8 +497,9 @@ class MLICPlusPlus(nn.Module):
         hyper_params = self.h_s(z_hat)
         _, hyper_means = self._chunk2(hyper_params)
 
-        init, decode = make_decoder(words, n_steps, esc_values, esc_begin)
-        carry = init(lane_begin)
+        init, decode = make_decoder(words, n_steps, esc_values, esc_begin,
+                                    fmt="global", n_lanes=n_lanes)
+        carry = init(img_begin)
 
         def phase(carry, squeeze, unsqueeze, scales, means):
             sc_sq = squeeze(scales)

@@ -118,6 +118,135 @@ def test_multi_image_multi_phase_byte_parity(tabs):
         assert streams[b] == host_streams[b], f"image {b} differs"
 
 
+def _assemble_global(out, n_lanes, batch):
+    """Per-image format-v3 streams from the compact_streams_global dict
+    (mirrors Codec._download_streams)."""
+    from mlic_tpu.entropy.rans.coder import _V3_FLAG
+    img_n = np.asarray(out["img_n"])
+    ecount = np.asarray(out["ecount"])
+    buf = np.asarray(out["buf"])
+    ebuf = np.asarray(out["ebuf"])
+    img_begin = np.concatenate([[0], np.cumsum(img_n)[:-1]]).astype(np.int64)
+    eb = np.concatenate([[0], np.cumsum(ecount)]).astype(np.int64)
+    streams = []
+    for b in range(batch):
+        w0, w1 = int(img_begin[b]), int(img_begin[b] + img_n[b])
+        header = np.asarray([np.uint32(n_lanes) | _V3_FLAG, w1 - w0,
+                             int(ecount[b])], np.uint32).tobytes()
+        body = buf[w0:w1].tobytes()
+        if len(body) % 4:
+            body += b"\x00\x00"
+        streams.append(header + body
+                       + ebuf[eb[b]:eb[b + 1]].astype(np.int32).tobytes())
+    return streams
+
+
+@pytest.mark.parametrize("esc_rate", [0.0, 0.03])
+def test_global_format_byte_parity_and_oracle(tabs, esc_rate):
+    """Format v3: device encoder bytes == numpy ``encode_global`` bytes;
+    the per-symbol ``decode_global`` oracle recovers the symbols; and the
+    stream is 4 B/lane smaller than the v2 stream of the same payload."""
+    from mlic_tpu.entropy.rans.coder import (decode_global, encode_global,
+                                             stream_is_global)
+    params, table, lengths, offsets = tabs
+    n_lanes, n_per, phases, batch = 16, 16 * 9 + 5, 4, 3
+    rng = np.random.default_rng(11)
+    pad_row = len(lengths) - 1
+    sym = np.stack([_random_payload(tabs, rng, n_per * phases, esc_rate)[0]
+                    for _ in range(batch)])
+    idx = np.stack([_random_payload(tabs, rng, n_per * phases, 0.0)[1]
+                    for _ in range(batch)])
+
+    host_streams, padded_idx = [], []
+    for b in range(batch):
+        ss, ii = [], []
+        for k in range(phases):
+            s = sym[b, k * n_per:(k + 1) * n_per]
+            i = idx[b, k * n_per:(k + 1) * n_per]
+            pad = (-len(s)) % n_lanes
+            ss.append(np.concatenate([s, np.zeros(pad, np.int32)]))
+            ii.append(np.concatenate([i, np.full(pad, pad_row, np.int32)]))
+        host_streams.append(encode_global(
+            np.concatenate(ss), np.concatenate(ii), n_lanes,
+            table, lengths, offsets))
+        padded_idx.append(np.concatenate(ii))
+
+    dev_tabs = parametric_device_tables(params, lengths, offsets, table)
+    out = encode_interleaved_device(jnp.asarray(sym), jnp.asarray(idx),
+                                    dev_tabs, n_lanes, n_phases=phases,
+                                    fmt="global")
+    streams = _assemble_global(out, n_lanes, batch)
+    per_step = -(-n_per // n_lanes) * n_lanes
+    for b in range(batch):
+        assert stream_is_global(streams[b])
+        assert streams[b] == host_streams[b], f"image {b} differs"
+        got = decode_global(streams[b], padded_idx[b], table, lengths,
+                            offsets)
+        got = got.reshape(phases, per_step)[:, :n_per].ravel()
+        np.testing.assert_array_equal(got, sym[b])
+        # v2 of the same payload carries a 4 B/lane begin table v3 drops
+        v2 = encode_interleaved(
+            np.concatenate([np.concatenate(
+                [sym[b, k * n_per:(k + 1) * n_per],
+                 np.zeros((-n_per) % n_lanes, np.int32)])
+                for k in range(phases)]),
+            padded_idx[b], n_lanes, table, lengths, offsets)
+        assert len(v2) - len(streams[b]) == 4 * n_lanes
+
+
+def test_global_device_decode_matches_oracle(tabs):
+    """Device ``fmt="global"`` decode over a multi-image concatenated
+    buffer recovers the symbols (incl. escapes via the side channel)."""
+    from mlic_tpu.entropy.device_rans import make_decoder
+    from mlic_tpu.entropy.rans.coder import parse_global
+    params, table, lengths, offsets = tabs
+    n_lanes, n_per, phases, batch = 8, 8 * 6, 3, 2
+    rng = np.random.default_rng(13)
+    pad_row = len(lengths) - 1
+    sym = np.stack([_random_payload(tabs, rng, n_per * phases, 0.05)[0]
+                    for _ in range(batch)])
+    idx = np.stack([_random_payload(tabs, rng, n_per * phases, 0.0)[1]
+                    for _ in range(batch)])
+    dev_tabs = parametric_device_tables(params, lengths, offsets, table)
+    out = encode_interleaved_device(jnp.asarray(sym), jnp.asarray(idx),
+                                    dev_tabs, n_lanes, n_phases=phases,
+                                    fmt="global")
+    streams = _assemble_global(out, n_lanes, batch)
+
+    words_list, img_begins, escs, esc_begins = [], [], [], []
+    off = eoff = 0
+    for b in range(batch):
+        nl, wds, esc = parse_global(streams[b])
+        assert nl == n_lanes
+        words_list.append(wds)
+        img_begins.append(off)
+        off += len(wds)
+        escs.append(esc)
+        esc_begins.append(eoff)
+        eoff += len(esc)
+    words = np.zeros(1 << 12, np.uint16)
+    cat = np.concatenate(words_list)
+    words[:len(cat)] = cat
+    esc_values = np.zeros(max(eoff, 1), np.int32)
+    if eoff:
+        esc_values[:eoff] = np.concatenate(escs)
+    init, decode = make_decoder(
+        jnp.asarray(words), esc_values=jnp.asarray(esc_values),
+        esc_begin=jnp.asarray(np.asarray(esc_begins, np.int32)),
+        fmt="global", n_lanes=n_lanes)
+    carry = init(jnp.asarray(np.asarray(img_begins, np.int32)))
+    steps = n_per // n_lanes
+    got = np.zeros_like(sym)
+    for k in range(phases):
+        i = idx[:, k * n_per:(k + 1) * n_per]
+        ordered = i.reshape(batch, steps, n_lanes).transpose(1, 0, 2).reshape(-1)
+        carry, s = decode(carry, jnp.asarray(ordered), dev_tabs)
+        got[:, k * n_per:(k + 1) * n_per] = (
+            np.asarray(s).reshape(steps, batch, n_lanes)
+            .transpose(1, 0, 2).reshape(batch, -1))
+    np.testing.assert_array_equal(got, sym)
+
+
 def test_codec_device_encode_roundtrip_and_stream_parity():
     """Full-codec integration: device-encoded streams are byte-identical to
     host-encoded ones and round-trip bit-exactly."""

@@ -179,7 +179,7 @@ def main():
         import numpy as np
 
         from mlic_tpu.codec import Codec, _bucket
-        from mlic_tpu.entropy.rans.coder import parse_interleaved
+        from mlic_tpu.entropy.rans.coder import parse_global
         from mlic_tpu.models.registry import get_model
         model = get_model(name)
         rngs = {"params": jax.random.key(1), "noise": jax.random.key(2)}
@@ -203,17 +203,17 @@ def main():
         y_strings = enc["strings"][0]
         z_np = np.stack([np.zeros((H // 64, W // 64, N), np.int16)] * B)
         # reuse the encoder-side z (already int16-safe for trained models)
-        words_list, begins, escs = [], [], []
+        words_list, img_begins = [], []
         off = 0
         for b in range(B):
-            wds, beg, esc = parse_interleaved(y_strings[b])
+            _nl, wds, esc = parse_global(y_strings[b])
             words_list.append(wds)
-            begins.append(beg.astype(np.int64) + off)
+            img_begins.append(off)
             off += len(wds)
         words = np.concatenate(words_list)
         padded = np.zeros(_bucket(len(words)), np.uint16)
         padded[:len(words)] = words
-        lane_begin = jnp.asarray(np.concatenate(begins).astype(np.int32))
+        img_begin = jnp.asarray(np.asarray(img_begins, np.int32))
         w_dev = jnp.asarray(padded)
         z_dev = jnp.asarray(z_np)
         ev = jnp.zeros(1024, jnp.int32)
@@ -221,7 +221,7 @@ def main():
         cls = type(model)
 
         def dec_fn(zz):
-            return model.apply({"params": params}, zz, w_dev, lane_begin,
+            return model.apply({"params": params}, zz, w_dev, img_begin,
                                codec._dev_tables, 1.0, n_lanes,
                                codec._dev_n_steps, 1.0, ev, ebg,
                                method=cls.codec_device_pass)[0]
@@ -238,7 +238,11 @@ def main():
         from mlic_tpu.train.trainer import (TrainConfig, create_train_state,
                                             make_train_step)
         cfg_t = TrainConfig(lmbda=0.025)
-        batch = jax.random.uniform(jax.random.key(5), (B, 256, 256, 3))
+        # MB_PATCH: the full 256^2 pair of scan programs can exceed a
+        # contended window's compile budget; 128^2 keeps the A/B feasible
+        # (the policy delta is per-op dtype, not resolution-dependent).
+        P = int(os.environ.get("MB_PATCH", "256"))
+        batch = jax.random.uniform(jax.random.key(5), (B, P, P, 3))
         variants = {}
         for tdt in ("float32", "bfloat16_mixed"):
             mdl = get_model(name)

@@ -115,7 +115,7 @@ def main():
         x_hat, y_hat, sym16, sym8, idx, flags = out
         with t.section("c.rans_encode"):
             rans = codec._rans_encode(sym16, idx, codec._dev_tables)
-            float(jnp.sum(rans["lane_n"]))  # real execution fence
+            float(jnp.sum(rans["img_n"]))  # real execution fence
         with t.section("c.flags_dl"):
             flags_np = np.asarray(flags)
         with t.section("c.z_dl"):
@@ -130,7 +130,7 @@ def main():
     # -------- instrumented decompress
     def decompress(t, strings, shape):
         from mlic_tpu.entropy.rans import decode_with_indexes
-        from mlic_tpu.entropy.rans.coder import parse_interleaved
+        from mlic_tpu.entropy.rans.coder import parse_global
         y_strings, z_strings = strings
         bsz = len(y_strings)
         zh, zw = shape
@@ -148,13 +148,13 @@ def main():
                                     eb_lengths, eb_offsets).reshape(zh, zw, n_ch)
                 for b in range(bsz)])
         with t.section("d.parse"):
-            words_list, begins, escs, esc_begins = [], [], [], []
+            words_list, img_begins, escs, esc_begins = [], [], [], []
             off = 0
             eoff = 0
             for b in range(bsz):
-                wds, beg, esc = parse_interleaved(y_strings[b])
+                _nl, wds, esc = parse_global(y_strings[b])
                 words_list.append(wds)
-                begins.append(beg.astype(np.int64) + off)
+                img_begins.append(off)
                 off += len(wds)
                 escs.append(esc)
                 esc_begins.append(eoff)
@@ -163,7 +163,7 @@ def main():
             codec._words_bucket = max(codec._words_bucket, _bucket(len(words)))
             padded = np.zeros(codec._words_bucket, np.uint16)
             padded[:len(words)] = words
-            lane_begin = np.concatenate(begins).astype(np.int32)
+            img_begin = np.asarray(img_begins, np.int32)
             codec._esc_bucket = max(codec._esc_bucket,
                                     _bucket(max(eoff, 1), minimum=1024))
             esc_values = np.zeros(codec._esc_bucket, np.int32)
@@ -174,7 +174,7 @@ def main():
                    else np.int32)
             z_dev = jnp.asarray(z_symbols.astype(zdt))
             w_dev = jnp.asarray(padded)
-            lb_dev = jnp.asarray(lane_begin)
+            lb_dev = jnp.asarray(img_begin)
             ev_dev = jnp.asarray(esc_values)
             ebg_dev = jnp.asarray(np.asarray(esc_begins, np.int32))
             jax.block_until_ready(w_dev)
