@@ -73,6 +73,44 @@ def _dl_bucket(n: int, minimum: int = 1 << 12) -> int:
     return ((n + step - 1) // step) * step
 
 
+def make_analyze_fn(model):
+    """g_a + h_a + z quantization, plus an int16 twin of z for the slim
+    host download (guarded by the encode-pass z-overflow flag)."""
+    cls = type(model)
+
+    def _analyze_fn(p, x, zqs):
+        y, z = model.apply({"params": p}, x, zqs, method=cls.analyze)
+        return y, z, z.astype(jnp.int16)
+
+    return _analyze_fn
+
+
+def make_encode_full(model, n_lanes: int, encode_recon: bool):
+    """ONE-dispatch encode program: analyze + context pass + device rANS
+    (format v3).  Factored out of ``Codec`` so the data-parallel serving
+    path (``parallel/serving.py``) can wrap the same traced function in
+    ``shard_map`` — each device runs the identical program on its batch
+    shard."""
+    from mlic_tpu.entropy.device_rans import encode_interleaved_device
+    cls = type(model)
+    n_ph = 2 * model.cfg.slice_num
+    analyze = make_analyze_fn(model)
+
+    def _encode_full(p, x, sc, zqs, tables):
+        y, z_symbols, z16 = analyze(p, x, zqs)
+        out = model.apply({"params": p}, y, z_symbols, sc, zqs,
+                          encode_recon, method=cls.codec_encode_pass)
+        x_hat, y_hat, sym16, sym8, idx, flags = out
+        rans = encode_interleaved_device(sym16, idx, tables, n_lanes, n_ph,
+                                         fmt="global")
+        return {"y": y, "z_symbols": z_symbols, "z16": z16,
+                "x_hat": x_hat, "y_hat": y_hat, "sym16": sym16,
+                "sym8": sym8, "idx": idx, "flags": flags,
+                "rans": rans}
+
+    return _encode_full
+
+
 class _ExchangeState:
     """Mutable host-side symbol-exchange state shared by both backends."""
 
@@ -139,13 +177,7 @@ class Codec:
         self._words_bucket = 0
         self._esc_bucket = 0
 
-        def _analyze_fn(p, x, zqs):
-            y, z = model.apply({"params": p}, x, zqs, method=cls.analyze)
-            # int16 twin of z for the slim host download (guarded by the
-            # encode-pass z-overflow flag; int16 is exact in practice).
-            return y, z, z.astype(jnp.int16)
-
-        self._analyze = jax.jit(_analyze_fn)
+        self._analyze = jax.jit(make_analyze_fn(model))
         self._gain_scale = jax.jit(
             lambda p, s, isc: model.apply({"params": p}, s, isc,
                                           method=cls.gain_scale))
@@ -184,20 +216,8 @@ class Codec:
             # ms/batch inside one program vs 200+ ms/img dispatched in
             # pieces in a contended window) — so the encode side submits
             # exactly one program.
-            def _encode_full(p, x, sc, zqs, tables):
-                y, z_symbols, z16 = _analyze_fn(p, x, zqs)
-                out = model.apply({"params": p}, y, z_symbols, sc, zqs,
-                                  encode_recon,
-                                  method=cls.codec_encode_pass)
-                x_hat, y_hat, sym16, sym8, idx, flags = out
-                rans = encode_interleaved_device(sym16, idx, tables,
-                                                 n_lanes, n_ph, fmt="global")
-                return {"y": y, "z_symbols": z_symbols, "z16": z16,
-                        "x_hat": x_hat, "y_hat": y_hat, "sym16": sym16,
-                        "sym8": sym8, "idx": idx, "flags": flags,
-                        "rans": rans}
-
-            self._encode_full = jax.jit(_encode_full)
+            self._encode_full = jax.jit(
+                make_encode_full(model, n_lanes, encode_recon))
         if backend == "fused":
             self._fused = jax.jit(
                 lambda p, y, zs, sc, zqs: model.apply(

@@ -336,7 +336,10 @@ def encode_lanes(sym: jax.Array, row: jax.Array, tables: dict):
         x = ((x // fr) << PROB_BITS) + (x % fr) + st
         return x, (word, emit)
 
-    x0 = jnp.full((sym.shape[1],), _RANS_L, jnp.uint32)
+    # Initial state derives its shard_map varying-axis type from the inputs
+    # (a bare constant carry is "unvarying" and scan rejects the carry-type
+    # mismatch when this runs inside a sharded serving program).
+    x0 = _RANS_L + start[0] * 0
     # reverse=True: last position encoded first (rANS is LIFO), but the
     # stacked outputs stay in FORWARD step order — which is exactly the
     # order the per-lane stream stores its renorm words.

@@ -106,6 +106,28 @@ def test_vbr_codec_roundtrip_two_levels(vbr):
     assert sizes[0] <= sizes[1]  # coarser quantization -> fewer bytes
 
 
+def test_vbr_device_backend_roundtrip(vbr):
+    """VBR through the DEVICE backend (on-device rANS, format-v3 streams):
+    the traced gain level must produce bit-exact round trips at multiple
+    levels from one compiled program pair."""
+    model, params, x = vbr
+    codec = Codec(model, params, backend="device", n_lanes=16)
+    codec.update()
+    ref = Codec(model, params)  # steps backend, single-stream oracle
+    ref.update()
+    for s in (0, 2):
+        enc = codec.compress(x, s=s)
+        dec = codec.decompress(enc["strings"], enc["shape"], s=s)
+        np.testing.assert_array_equal(np.asarray(enc["y_hat"]),
+                                      np.asarray(dec["y_hat"]))
+        np.testing.assert_array_equal(np.asarray(enc["x_hat"]),
+                                      np.asarray(dec["x_hat"]))
+        # same quantized latent as the steps backend
+        ref_enc = ref.compress(x, s=s)
+        np.testing.assert_array_equal(np.asarray(enc["y_hat"]),
+                                      np.asarray(ref_enc["y_hat"]))
+
+
 TINY_VBR_QO = dataclasses.replace(TINY_VBR, name="TINY_VBR_QO",
                                   quant_offset=True)
 TINY_VBR_VRZ = dataclasses.replace(TINY_VBR, name="TINY_VBR_VRZ",
