@@ -88,7 +88,9 @@ class ShardedCodec(Codec):
         self._dec_sharded_steps = None
 
     # ------------------------------------------------------------------
-    def compress(self, x, s: int = 0, inputscale: float = 0.0) -> dict:
+    def compress_begin(self, x, s: int = 0, inputscale: float = 0.0) -> dict:
+        """Dispatch half (no device->host fetch) — see Codec.compress_begin;
+        here the one encode program is sharded over the mesh."""
         self._require_tables()
         t0 = time.perf_counter()
         scale = self._scale_for(s, inputscale)
@@ -97,13 +99,21 @@ class ShardedCodec(Codec):
         if x.dtype != jnp.uint8:
             x = x.astype(jnp.float32)
         batch = x.shape[0]
+        assert batch % self.n_dev == 0, (
+            f"batch {batch} not divisible by {self.n_dev} devices")
+        out = dict(self._encode_sharded(self.params, x,
+                                        jnp.asarray(scale, jnp.float32),
+                                        jnp.asarray(z_qs, jnp.float32),
+                                        self._dev_tables))
+        out.update(t0=t0, batch=batch, scale=scale, z_qs=z_qs)
+        return out
+
+    def compress_end(self, h: dict) -> dict:
+        """Host half: one combined fetch, per-image v3 stream assembly."""
+        t0, batch, z_qs = h["t0"], h["batch"], h["z_qs"]
         nd = self.n_dev
-        assert batch % nd == 0, f"batch {batch} not divisible by {nd} devices"
         bl = batch // nd
-        out = self._encode_sharded(self.params, x,
-                                   jnp.asarray(scale, jnp.float32),
-                                   jnp.asarray(z_qs, jnp.float32),
-                                   self._dev_tables)
+        out = h
         rans = out["rans"]
         cap = rans["buf"].shape[0] // nd
         ecap = rans["ebuf"].shape[0] // nd
@@ -165,6 +175,9 @@ class ShardedCodec(Codec):
         if self.encode_recon:
             res["x_hat"] = out["x_hat"]
         return res
+
+    def compress(self, x, s: int = 0, inputscale: float = 0.0) -> dict:
+        return self.compress_end(self.compress_begin(x, s, inputscale))
 
     # ------------------------------------------------------------------
     def decompress(self, strings, shape, s: int = 0, inputscale: float = 0.0,

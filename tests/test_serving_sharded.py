@@ -54,6 +54,23 @@ def test_sharded_streams_match_single_device(setup):
     assert len(dec["x_hat"].sharding.device_set) == 4
 
 
+def test_sharded_roundtrip_stream_pipeline(setup):
+    """The two-deep serving pipeline generator works over the mesh
+    (compress_begin/end split inherited protocol) and stays bit-exact."""
+    model, params, x = setup
+    mesh = make_mesh(4)
+    sc = ShardedCodec(model, params, mesh, n_lanes=16, encode_recon=True)
+    sc.update()
+    batches = [x, x[::-1]]
+    outs = list(sc.roundtrip_stream(batches))
+    assert len(outs) == 2
+    for (enc, dec), xb in zip(outs, batches):
+        ref = sc.compress(xb)
+        assert enc["strings"][0] == ref["strings"][0]
+        np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
+                                      np.asarray(enc["x_hat"]))
+
+
 def test_sharded_batch_divisibility_guard(setup):
     model, params, x = setup
     mesh = make_mesh(4)
