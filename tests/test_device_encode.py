@@ -247,6 +247,39 @@ def test_global_device_decode_matches_oracle(tabs):
     np.testing.assert_array_equal(got, sym)
 
 
+def test_corrupt_stream_decodes_without_crash():
+    """rANS has no integrity check: corrupted or truncated v3 streams must
+    decode to arbitrary symbols (finite tensors), never crash."""
+    import jax
+
+    from mlic_tpu.codec import Codec
+    from mlic_tpu.models.registry import get_model
+
+    model = get_model("MLICPP_TINY")
+    x = np.asarray(jax.random.uniform(jax.random.key(0), (1, 64, 64, 3)),
+                   np.float32)
+    params = jax.jit(lambda r, v: model.init(r, v, True))(
+        {"params": jax.random.key(1), "noise": jax.random.key(2)},
+        jnp.asarray(x))["params"]
+    codec = Codec(model, params, backend="device", n_lanes=16)
+    codec.update()
+    enc = codec.compress(x)
+    good = enc["strings"][0][0]
+
+    # flip bytes in the word payload (header intact)
+    corrupt = bytearray(good)
+    for i in range(16, min(len(corrupt), 64)):
+        corrupt[i] ^= 0xA5
+    streams = [[bytes(corrupt)], enc["strings"][1]]
+    dec = codec.decompress(streams, enc["shape"])
+    assert np.isfinite(np.asarray(dec["x_hat"])).all()
+
+    # truncate the payload (claimed n_words exceeds actual bytes)
+    trunc = good[:max(16, len(good) // 2)]
+    dec2 = codec.decompress([[trunc], enc["strings"][1]], enc["shape"])
+    assert np.isfinite(np.asarray(dec2["x_hat"])).all()
+
+
 def test_codec_device_encode_roundtrip_and_stream_parity():
     """Full-codec integration: device-encoded streams are byte-identical to
     host-encoded ones and round-trip bit-exactly."""
