@@ -85,13 +85,24 @@ def make_analyze_fn(model):
     return _analyze_fn
 
 
-def make_encode_full(model, n_lanes: int, encode_recon: bool):
-    """ONE-dispatch encode program: analyze + context pass + device rANS
-    (format v3).  Factored out of ``Codec`` so the data-parallel serving
-    path (``parallel/serving.py``) can wrap the same traced function in
+def make_encode_full(model, n_lanes: int, encode_recon: bool,
+                     unified_z: bool = False, z_rows_base: int = 0):
+    """ONE-dispatch encode program: analyze + context pass + device rANS.
+    Factored out of ``Codec`` so the data-parallel serving path
+    (``parallel/serving.py``) can wrap the same traced function in
     ``shard_map`` — each device runs the identical program on its batch
-    shard."""
-    from mlic_tpu.entropy.device_rans import encode_interleaved_device
+    shard.
+
+    ``unified_z=True`` emits stream format v4: the hyper-latent's symbols
+    are coded into the SAME interleaved stream as z-section phases ahead of
+    the y phases (factorized-prior rows live at ids >= ``z_rows_base`` in
+    the combined table) — no host entropy coding and no z-symbol transfers
+    remain in either direction."""
+    from mlic_tpu.entropy.device_rans import (
+        encode_interleaved_device,
+        encode_positions_device,
+        phase_order,
+    )
     cls = type(model)
     n_ph = 2 * model.cfg.slice_num
     analyze = make_analyze_fn(model)
@@ -100,9 +111,30 @@ def make_encode_full(model, n_lanes: int, encode_recon: bool):
         y, z_symbols, z16 = analyze(p, x, zqs)
         out = model.apply({"params": p}, y, z_symbols, sc, zqs,
                           encode_recon, method=cls.codec_encode_pass)
-        x_hat, y_hat, sym16, sym8, idx, flags = out
-        rans = encode_interleaved_device(sym16, idx, tables, n_lanes, n_ph,
-                                         fmt="global")
+        x_hat, y_hat, sym16, sym8, idx, flags, sym32 = out
+        if unified_z:
+            b = sym32.shape[0]
+            N = model.cfg.N
+            pad_row = z_rows_base - 1
+            z_flat = z_symbols.reshape(b, -1)
+            z_rows = z_rows_base + (
+                jnp.arange(z_flat.shape[1], dtype=jnp.int32) % N)
+            z_rows = jnp.broadcast_to(z_rows[None], z_flat.shape)
+            parts_s = [phase_order(z_flat, n_lanes, pad_row, 0)]
+            parts_r = [phase_order(z_rows, n_lanes, pad_row, pad_row)]
+            n_per = sym32.shape[1] // n_ph
+            idx32 = idx.astype(jnp.int32)
+            for k in range(n_ph):
+                sl = slice(k * n_per, (k + 1) * n_per)
+                parts_s.append(phase_order(sym32[:, sl], n_lanes, pad_row, 0))
+                parts_r.append(phase_order(idx32[:, sl], n_lanes, pad_row,
+                                           pad_row))
+            rans = encode_positions_device(
+                jnp.concatenate(parts_s, 0), jnp.concatenate(parts_r, 0),
+                tables, b, fmt="global")
+        else:
+            rans = encode_interleaved_device(sym16, idx, tables, n_lanes,
+                                             n_ph, fmt="global")
         return {"y": y, "z_symbols": z_symbols, "z16": z16,
                 "x_hat": x_hat, "y_hat": y_hat, "sym16": sym16,
                 "sym8": sym8, "idx": idx, "flags": flags,
@@ -204,6 +236,16 @@ class Codec:
             from mlic_tpu.entropy.device_rans import encode_interleaved_device
             self.device_encode = os.environ.get(
                 "MLIC_DEVICE_ENCODE", "1") == "1"
+            # Stream format v4 (default): the hyper-latent is coded INLINE
+            # as the stream's leading phases — both rANS directions run
+            # fully on device and the z16 download / z-symbol upload / host
+            # z coding all disappear.  MLIC_UNIFIED_Z=0 restores v3
+            # (separate host-coded z strings).
+            self.unified_z = self.device_encode and os.environ.get(
+                "MLIC_UNIFIED_Z", "1") == "1"
+            self._z_rows_base = 0
+            self._z_steps_row = 0
+            self._comb_cache: dict[float, Any] = {}
             n_ph = 2 * model.cfg.slice_num
             self._rans_encode = jax.jit(
                 lambda sym, idx, tables: encode_interleaved_device(
@@ -260,7 +302,81 @@ class Codec:
         if self.backend == "device":
             self._update_device_tables(
                 scale_table if scale_table is not None else get_scale_table())
+            if self.unified_z:
+                self._build_unified()
         return True
+
+    # ---------------- stream format v4 (unified y+z) -------------------
+    def _combined_tables(self, eb_tabs):
+        """Extend the device table dict with the factorized-prior rows so
+        ONE stream carries both latents: combined ``cdf_rows`` =
+        [gaussian rows..., pad row, EB rows...]; ``offsets``/``max_value``
+        concatenated to match.  The Gaussian decode paths index only rows
+        < z_rows_base, so extending the arrays is transparent to them; the
+        z section decodes by integer-row bisection (exact by construction —
+        encoder and decoder read the same table entries)."""
+        gauss_rows, g_len, g_off = self._gc_ext
+        eb_cdfs, eb_len, eb_off, _ = eb_tabs
+        gauss_rows = np.asarray(gauss_rows)
+        n_g = gauss_rows.shape[0]
+        width = max(gauss_rows.shape[1], eb_cdfs.shape[1])
+        width = max(-(-width // 64) * 64, getattr(self, "_comb_width", 0))
+        self._comb_width = width
+        rows = np.zeros((n_g + eb_cdfs.shape[0], width), np.int32)
+        rows[:n_g, :gauss_rows.shape[1]] = gauss_rows
+        rows[n_g:, :eb_cdfs.shape[1]] = np.asarray(eb_cdfs, np.int32)
+        d = dict(self._dev_tables)
+        d["cdf_rows"] = jnp.asarray(rows)
+        d["offsets"] = jnp.asarray(np.concatenate(
+            [np.asarray(g_off, np.int32), np.asarray(eb_off, np.int32)]))
+        d["max_value"] = jnp.asarray(np.concatenate(
+            [np.asarray(g_len, np.int32), np.asarray(eb_len, np.int32)]) - 2)
+        return d, n_g, int(np.ceil(np.log2(width)))
+
+    def _build_unified(self):
+        """(Re)build the v4 combined tables + jitted programs after
+        ``update``.  ``z_rows_base`` is static in the compiled programs but
+        fixed per codec (scale-table size), so the jits are created once."""
+        self._comb_cache = {}
+        comb, n_g, steps = self._combined_tables(self._eb)
+        self._comb_cache[1.0] = comb
+        rebuild = (self._z_rows_base != n_g
+                   or not hasattr(self, "_encode_full_v4"))
+        self._z_rows_base = n_g
+        self._z_steps_row = steps
+        if rebuild:
+            model, cls = self.model, type(self.model)
+            self._encode_full_v4 = jax.jit(make_encode_full(
+                model, self.n_lanes, self.encode_recon, unified_z=True,
+                z_rows_base=n_g))
+            base = n_g
+            self._device_pass_v4 = jax.jit(
+                lambda p, w, ib, tables, sc, zqs, ev, eb, zh, zw, ns, zsr: (
+                    model.apply(
+                        {"params": p}, zh, zw, w, ib, tables, sc,
+                        self.n_lanes, ns, zsr, base, zqs, ev, eb,
+                        method=cls.codec_device_pass_v4)),
+                static_argnums=(8, 9, 10, 11))
+
+    def _dev_tables_for(self, z_qs: float):
+        """Per-quantization-step device tables (v4: the EB rows depend on
+        ``z_qs`` for variable-rate bottlenecks; cached per level)."""
+        if not self.unified_z:
+            return self._dev_tables
+        tabs = self._comb_cache.get(z_qs)
+        if tabs is None:
+            width0 = self._comb_width
+            tabs, _, steps = self._combined_tables(self._eb_for(z_qs))
+            if self._comb_width != width0 or steps != self._z_steps_row:
+                # wider EB rows at this level: rebuild every cached level
+                # at the new ratcheted width so one program shape serves all
+                self._z_steps_row = max(self._z_steps_row, steps)
+                for q in list(self._comb_cache):
+                    self._comb_cache[q] = self._combined_tables(
+                        self._eb_for(q))[0]
+                tabs = self._combined_tables(self._eb_for(z_qs))[0]
+            self._comb_cache[z_qs] = tabs
+        return tabs
 
     def _update_device_tables(self, scale_table):
         """Decode tables for the device backend.
@@ -423,8 +539,9 @@ class Codec:
         Each synchronous fetch on the shared axon runtime costs a tunnel
         round trip PLUS a rescheduling stall in contended windows — the
         fetch count, not the byte count, dominates."""
-        from mlic_tpu.entropy.rans.coder import _V3_FLAG
+        from mlic_tpu.entropy.rans.coder import _V3_FLAG, _V4_FLAG
         nl = self.n_lanes
+        fmt_flags = _V3_FLAG | (_V4_FLAG if self.unified_z else 0)
         spec_bucket = getattr(self, "_enc_words_bucket", 0)
         fetch = [rans["img_n"], rans["ecount"],
                  rans["buf"][:spec_bucket]] + list(extra_fetch)
@@ -452,7 +569,7 @@ class Codec:
         streams = []
         for b in range(batch):
             w0, w1 = int(img_begin[b]), int(img_begin[b] + img_n[b])
-            header = np.asarray([np.uint32(nl) | _V3_FLAG, w1 - w0,
+            header = np.asarray([np.uint32(nl) | fmt_flags, w1 - w0,
                                  int(ecount[b])], np.uint32).tobytes()
             body = buf[w0:w1].tobytes()
             if len(body) % 4:
@@ -462,6 +579,18 @@ class Codec:
         if extra_fetch:
             return streams, extra
         return streams
+
+    def _decode_z_host(self, z_strings, z_qs, batch: int, zh: int, zw: int,
+                       n_ch: int) -> np.ndarray:
+        """Host factorized-prior decode of per-image z strings (formats
+        <= v3; format v4 decodes z on device inside the same program)."""
+        eb_cdfs, eb_lengths, eb_offsets, _ = self._eb_for(z_qs)
+        z_idx = np.broadcast_to(np.arange(n_ch, dtype=np.int32),
+                                (zh, zw, n_ch))
+        return np.stack([
+            decode_with_indexes(z_strings[b], z_idx.ravel(), eb_cdfs,
+                                eb_lengths, eb_offsets).reshape(zh, zw, n_ch)
+            for b in range(batch)])
 
     def _encode_z(self, z_np: np.ndarray, z_qs, batch: int) -> list[bytes]:
         """Factorized-prior coding of z: per-channel CDF rows, per image."""
@@ -492,12 +621,16 @@ class Codec:
             x = x.astype(jnp.float32)
         if self.device_encode:
             # Single-dispatch path: one program for the whole encode side.
-            h = dict(self._encode_full(self.params, x, scale, z_qs,
-                                       self._dev_tables))
+            if self.unified_z:
+                h = dict(self._encode_full_v4(self.params, x, scale, z_qs,
+                                              self._dev_tables_for(z_qs)))
+            else:
+                h = dict(self._encode_full(self.params, x, scale, z_qs,
+                                           self._dev_tables))
         else:
             y, z_symbols, z16 = self._analyze(self.params, x, z_qs)
             enc_out = self._encode_pass(self.params, y, z_symbols, scale, z_qs)
-            x_hat, y_hat, sym16, sym8, idx, flags = enc_out
+            x_hat, y_hat, sym16, sym8, idx, flags, _sym32 = enc_out
             h = {"y": y, "z_symbols": z_symbols, "z16": z16, "x_hat": x_hat,
                  "y_hat": y_hat, "sym16": sym16, "sym8": sym8, "idx": idx,
                  "flags": flags, "rans": None}
@@ -512,6 +645,19 @@ class Codec:
         batch = h["batch"]
         z_qs = h["z_qs"]
         x_hat, y_hat = h["x_hat"], h["y_hat"]
+        if h["rans"] is not None and self.unified_z:
+            # Format v4: the stream already carries z — ONE fetch, zero
+            # host coding.  The z string slot stays (empty) so containers
+            # keep their two-streams-per-image shape.
+            y_strings = self._download_streams(h["rans"], batch)
+            zsh = h["z_symbols"].shape
+            return {
+                "strings": [y_strings, [b""] * batch],
+                "shape": (int(zsh[1]), int(zsh[2])),
+                "cost_time": time.perf_counter() - h["t0"],
+                "x_hat": x_hat,
+                "y_hat": y_hat,
+            }
         if h["rans"] is not None:
             y_strings, (flags_np, z_np) = self._download_streams(
                 h["rans"], batch, extra_fetch=(h["flags"], h["z16"]))
@@ -637,21 +783,16 @@ class Codec:
         zh, zw = shape
         n_ch = self.model.cfg.N
 
-        eb_cdfs, eb_lengths, eb_offsets, _ = self._eb_for(z_qs)
-        z_idx = np.broadcast_to(np.arange(n_ch, dtype=np.int32), (zh, zw, n_ch))
-        z_symbols = np.stack([
-            decode_with_indexes(z_strings[b], z_idx.ravel(), eb_cdfs,
-                                eb_lengths, eb_offsets).reshape(zh, zw, n_ch)
-            for b in range(batch)])
         if self.backend == "device":
-            # int16 halves the z upload (~32 MB/s axon tunnel); int32 only
-            # for degenerate latents (separate program, compiled if ever
-            # hit).  The steps backend below keeps int32 so encode and
-            # decode share compiled executables.
-            zdt = (np.int16 if np.abs(z_symbols).max(initial=0) <= 32767
-                   else np.int32)
-            z_symbols = jnp.asarray(z_symbols.astype(zdt))
-            from mlic_tpu.entropy.rans.coder import parse_global
+            from mlic_tpu.entropy.rans.coder import (
+                parse_global,
+                stream_is_unified,
+            )
+            unified = stream_is_unified(y_strings[0])
+            if unified and not self.unified_z:
+                raise ValueError(
+                    "format-v4 stream (inline z) but this codec was built "
+                    "with MLIC_UNIFIED_Z=0")
             words_list, img_begins, escs, esc_begins = [], [], [], []
             offset = 0
             esc_off = 0
@@ -676,15 +817,37 @@ class Codec:
             esc_values = np.zeros(self._esc_bucket, np.int32)
             if esc_off:
                 esc_values[:esc_off] = np.concatenate(escs)
-            x_hat, y_hat = self._device_pass(
-                self.params, z_symbols, jnp.asarray(padded),
-                jnp.asarray(img_begin), self._dev_tables, scale,
-                self._dev_n_steps, z_qs, jnp.asarray(esc_values),
-                jnp.asarray(np.asarray(esc_begins, np.int32)))
+            if unified:
+                # Format v4: z decodes on device from the same stream —
+                # no host entropy coding, no z-symbol upload.
+                x_hat, y_hat = self._device_pass_v4(
+                    self.params, jnp.asarray(padded), jnp.asarray(img_begin),
+                    self._dev_tables_for(z_qs), scale, z_qs,
+                    jnp.asarray(esc_values),
+                    jnp.asarray(np.asarray(esc_begins, np.int32)),
+                    zh, zw, self._dev_n_steps, self._z_steps_row)
+            else:
+                z_symbols = self._decode_z_host(z_strings, z_qs, batch,
+                                                zh, zw, n_ch)
+                # int16 halves the z upload (~32 MB/s axon tunnel); int32
+                # only for degenerate latents (separate program, compiled
+                # if ever hit).  The steps backend below keeps int32 so
+                # encode and decode share compiled executables.
+                zdt = (np.int16
+                       if np.abs(z_symbols).max(initial=0) <= 32767
+                       else np.int32)
+                x_hat, y_hat = self._device_pass(
+                    self.params, jnp.asarray(z_symbols.astype(zdt)),
+                    jnp.asarray(padded), jnp.asarray(img_begin),
+                    self._dev_tables, scale, self._dev_n_steps, z_qs,
+                    jnp.asarray(esc_values),
+                    jnp.asarray(np.asarray(esc_begins, np.int32)))
             if wait:
                 jax.block_until_ready(x_hat)
             return {"x_hat": x_hat, "y_hat": y_hat,
                     "cost_time": time.perf_counter() - t0}
+
+        z_symbols = self._decode_z_host(z_strings, z_qs, batch, zh, zw, n_ch)
 
         h, w = zh * 4, zw * 4
         y_zero = jnp.zeros((batch, h, w, self.model.cfg.M), jnp.float32)

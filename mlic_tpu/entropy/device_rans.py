@@ -221,6 +221,46 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
 
         return step
 
+    def _step_rowtab(tables, steps):
+        """Bisection over the INTEGER cdf rows themselves (format v4's z
+        section): exact by construction — encoder and decoder read the same
+        ``cdf_rows`` entries, so there is no cross-program float hazard at
+        all (unlike the parametric path, which needs ``self_check``).  Each
+        iteration costs one [L]-gather from the small [n_rows, max_len]
+        table; rows here are the factorized-prior CDFs (tens of slots), so
+        ``steps`` ~ 6-8."""
+        rows_t = tables["cdf_rows"]
+        max_value_t = tables["max_value"]
+        offsets_t = tables["offsets"]
+
+        def step(c, row):
+            x, ptr = c
+            cf = (x & _MASK16).astype(jnp.int32)
+            max_value = max_value_t[row]
+            # Invariant: cdf[lo] <= cf < cdf[hi]; cdf[0]=0, cdf[len-1]=2^16.
+            lo = jnp.zeros_like(cf)
+            v_lo = jnp.zeros_like(cf)
+            hi = max_value + 1
+            v_hi = jnp.full_like(cf, 1 << PROB_BITS)
+            for _ in range(steps):
+                guard = (hi - lo) > 1
+                mid = (lo + hi) >> 1
+                v_mid = rows_t[row, mid]
+                take = (v_mid <= cf) & guard
+                keep = guard & ~take
+                lo = jnp.where(take, mid, lo)
+                v_lo = jnp.where(take, v_mid, v_lo)
+                hi = jnp.where(keep, mid, hi)
+                v_hi = jnp.where(keep, v_mid, v_hi)
+            start = v_lo.astype(jnp.uint32)
+            freq = (v_hi - v_lo).astype(jnp.uint32)
+            x = freq * (x >> 16) + (x & _MASK16) - start
+            x, ptr = renorm(x, ptr)
+            esc = lo == max_value
+            return (x, ptr), (lo + offsets_t[row], esc)
+
+        return step
+
     def _step_parametric(tables):
         row_params = tables["row_params"]
         max_value_t = tables["max_value"]
@@ -257,14 +297,18 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
 
         return step
 
-    def decode(carry, indexes, tables):
+    def decode(carry, indexes, tables, n_steps_row: int | None = None):
         x, ptr, esc_count = carry
         L = x.shape[0]
         n = indexes.shape[0]
         steps = n // L
         idx_sl = indexes.reshape(steps, L)
-        step = (_step_parametric(tables) if "row_params" in tables
-                else _step_lut(tables))
+        if "row_params" in tables:
+            step = _step_parametric(tables)
+        elif "lut_sf" in tables:
+            step = _step_lut(tables)
+        else:
+            step = _step_rowtab(tables, n_steps_row or n_steps)
         (x, ptr), (sym, esc) = jax.lax.scan(step, (x, ptr), idx_sl)
         # Side-channel patch: per-image position-order escape numbering.
         B = esc_begin.shape[0]
@@ -479,7 +523,19 @@ def encode_interleaved_device(sym: jax.Array, idx: jax.Array,
         [phase_order(idx[:, k * n_per:(k + 1) * n_per], n_lanes, pad_row,
                      pad_row)
          for k in range(n_phases)], axis=0)
+    return encode_positions_device(sym_steps, row_steps, tables, b, fmt)
+
+
+def encode_positions_device(sym_steps: jax.Array, row_steps: jax.Array,
+                            tables: dict, n_images: int, fmt: str = "lanes"):
+    """Encode pre-ordered [S, L] position arrays (``phase_order`` layout).
+
+    The format-v4 path builds these directly so the hyper-latent's phases
+    (factorized-prior rows, different per-phase sizes) can be PREPENDED to
+    the Gaussian y phases in one stream — callers mix row id spaces freely
+    as long as ``tables['cdf_rows']/offsets/max_value`` covers them all."""
     x, words, emits, esc = encode_lanes(sym_steps, row_steps, tables)
     if fmt == "global":
-        return compact_streams_global(x, words, emits, esc, sym_steps, b)
-    return compact_streams(x, words, emits, esc, sym_steps, b)
+        return compact_streams_global(x, words, emits, esc, sym_steps,
+                                      n_images)
+    return compact_streams(x, words, emits, esc, sym_steps, n_images)

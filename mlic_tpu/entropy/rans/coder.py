@@ -373,11 +373,22 @@ def decode_interleaved(stream: bytes, indexes, cdfs, cdf_lengths, offsets) -> np
 # ----------------------------------------------------------------------
 
 _V3_FLAG = np.uint32(1 << 31)
+# Format v4 = v3 word layout + the hyper-latent coded INLINE as the leading
+# phases (factorized-prior CDF rows; no separate z string exists).  Both
+# flag bits are set so v3-only parsers fail loudly instead of misdecoding.
+_V4_FLAG = np.uint32(1 << 30)
 
 
 def stream_is_global(stream: bytes) -> bool:
-    """True if a y-stream is format v3 (global emission order)."""
+    """True if a y-stream is format v3/v4 (global emission order)."""
     return bool(np.frombuffer(stream[:4], dtype=np.uint32)[0] & _V3_FLAG)
+
+
+def stream_is_unified(stream: bytes) -> bool:
+    """True if the stream is format v4 (hyper-latent coded inline)."""
+    if len(stream) < 4:
+        return False
+    return bool(np.frombuffer(stream[:4], dtype=np.uint32)[0] & _V4_FLAG)
 
 
 def encode_global(symbols, indexes, n_lanes: int, cdfs, cdf_lengths,
@@ -433,8 +444,8 @@ def encode_global(symbols, indexes, n_lanes: int, cdfs, cdf_lengths,
 def parse_global(stream: bytes):
     """-> (n_lanes, words uint16 [n_words], esc_values int32 [n_escapes])."""
     head = np.frombuffer(stream[:12], dtype=np.uint32)
-    assert head[0] & _V3_FLAG, "not a format-v3 stream"
-    n_lanes = int(head[0] & ~_V3_FLAG)
+    assert head[0] & _V3_FLAG, "not a format-v3/v4 stream"
+    n_lanes = int(head[0] & ~(_V3_FLAG | _V4_FLAG))
     n_words, n_esc = int(head[1]), int(head[2])
     off = 12
     words = np.frombuffer(stream[off:off + 2 * n_words], dtype=np.uint16)

@@ -485,21 +485,69 @@ class MLICPlusPlus(nn.Module):
         """
         from mlic_tpu.entropy.device_rans import make_decoder
 
+        words = words.astype(jnp.int32)          # one VPU pass, upload stays 2B/word
+        z_symbols = z_symbols.astype(jnp.int32)
+        init, decode = make_decoder(words, n_steps, esc_values, esc_begin,
+                                    fmt="global", n_lanes=n_lanes)
+        carry = init(img_begin)
+        return self._device_pass_from_z(z_symbols, carry, decode, tables,
+                                        scale, n_lanes, z_qs)
+
+    def codec_device_pass_v4(self, zh: int, zw: int, words, img_begin,
+                             tables, scale, n_lanes: int, n_steps: int,
+                             z_steps_row: int, z_rows_base: int, z_qs=1.0,
+                             esc_values=None, esc_begin=None):
+        """Format-v4 decompress: the hyper-latent z is DECODED FROM THE
+        STREAM on device (integer-row bisection over the factorized-prior
+        CDF rows appended to ``tables['cdf_rows']`` at row ids >=
+        ``z_rows_base``), then the usual context/y pass runs — zero host
+        entropy coding in either direction.
+
+        Args (static): zh, zw — z spatial dims (``shape`` in the container);
+        z_steps_row — bisection depth for the factorized rows;
+        z_rows_base — first factorized row id in the combined table.
+        """
+        from mlic_tpu.entropy.device_rans import make_decoder
+
+        cfg = self.cfg
+        N = cfg.N
+        b = img_begin.shape[0]
+        pad_row = z_rows_base - 1
+        words = words.astype(jnp.int32)
+        init, decode = make_decoder(words, n_steps, esc_values, esc_begin,
+                                    fmt="global", n_lanes=n_lanes)
+        carry = init(img_begin)
+        # z section first (position order matches the encoder's phase order).
+        z_n = zh * zw * N
+        z_rows = z_rows_base + (
+            jnp.arange(z_n, dtype=jnp.int32) % N)        # NHWC ravel: ch = pos % N
+        steps = -(-z_n // n_lanes)
+        pad = steps * n_lanes - z_n
+        flat = jnp.broadcast_to(z_rows[None], (b, z_n))
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=pad_row)
+        ordered = flat.reshape(b, steps, n_lanes).transpose(1, 0, 2).reshape(-1)
+        z_view = {k: tables[k] for k in ("cdf_rows", "max_value", "offsets")}
+        carry, z_sym = decode(carry, ordered, z_view, n_steps_row=z_steps_row)
+        z_sym = (z_sym.reshape(steps, b, n_lanes).transpose(1, 0, 2)
+                 .reshape(b, -1)[:, :z_n])
+        z_symbols = z_sym.reshape(b, zh, zw, N)
+        return self._device_pass_from_z(z_symbols, carry, decode, tables,
+                                        scale, n_lanes, z_qs)
+
+    def _device_pass_from_z(self, z_symbols, carry, decode, tables, scale,
+                            n_lanes: int, z_qs):
+        """Shared context/y half of the device decompress: consume the
+        remaining stream phases given already-decoded z symbols."""
         cfg = self.cfg
         C = cfg.slice_ch
         scale = jnp.asarray(scale, jnp.float32)
-        pad_row = tables["offsets"].shape[0] - 1
+        pad_row = tables["row_params"].shape[0] - 1 if "row_params" in tables \
+            else tables["lut_sf"].shape[0] - 1
         b = z_symbols.shape[0]
-        words = words.astype(jnp.int32)          # one VPU pass, upload stays 2B/word
-        z_symbols = z_symbols.astype(jnp.int32)
 
         z_hat = self._z_hat(z_symbols, z_qs)
         hyper_params = self.h_s(z_hat)
         _, hyper_means = self._chunk2(hyper_params)
-
-        init, decode = make_decoder(words, n_steps, esc_values, esc_begin,
-                                    fmt="global", n_lanes=n_lanes)
-        carry = init(img_begin)
 
         def phase(carry, squeeze, unsqueeze, scales, means):
             sc_sq = squeeze(scales)
@@ -616,7 +664,7 @@ class MLICPlusPlus(nn.Module):
         flags = jnp.stack([amax > 32767, amax > 127,
                            jnp.max(jnp.abs(z_symbols)) > 32767]).astype(jnp.int32)
         return (x_hat, y_hat, sym32.astype(jnp.int16), sym32.astype(jnp.int8),
-                jnp.concatenate(idxs, 1), flags)
+                jnp.concatenate(idxs, 1), flags, sym32)
 
     # --------------------- decode-complexity proxy ---------------------
     def net_decoder_forward(self, z_shape_source):

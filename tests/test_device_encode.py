@@ -282,7 +282,14 @@ def test_corrupt_stream_decodes_without_crash():
 
 def test_codec_device_encode_roundtrip_and_stream_parity():
     """Full-codec integration: device-encoded streams are byte-identical to
-    host-encoded ones and round-trip bit-exactly."""
+    host-encoded ones and round-trip bit-exactly.
+
+    Runs on format v3 (MLIC_UNIFIED_Z=0): flipping ``device_encode`` off
+    routes through the host v3 assembler, so byte parity is only defined
+    there.  The v4 host-oracle parity lives in tests/test_unified_stream.py.
+    """
+    import os
+
     import jax
 
     from mlic_tpu.codec import Codec
@@ -295,9 +302,14 @@ def test_codec_device_encode_roundtrip_and_stream_parity():
         {"params": jax.random.key(1), "noise": jax.random.key(2)},
         jnp.asarray(x))["params"]
 
-    codec = Codec(model, params, backend="device", n_lanes=32)
+    os.environ["MLIC_UNIFIED_Z"] = "0"
+    try:
+        codec = Codec(model, params, backend="device", n_lanes=32)
+    finally:
+        os.environ.pop("MLIC_UNIFIED_Z")
     codec.update()
     assert codec.device_encode
+    assert not codec.unified_z
     enc_dev = codec.compress(x)
 
     codec.device_encode = False

@@ -1,8 +1,9 @@
 """Data-parallel serving: ShardedCodec over the virtual 8-device CPU mesh.
 
 The sharded codec must produce BYTE-IDENTICAL streams to the single-device
-codec (the v3 per-image stream layout has no cross-image state) and its
-decode must reproduce the single-device reconstruction bit-exactly.
+codec (the per-image stream layout — v4 by default — has no cross-image
+state) and its decode must reproduce the single-device reconstruction
+bit-exactly.
 """
 
 import numpy as np

@@ -112,7 +112,7 @@ def main():
         with t.section("c.encode_pass"):
             out = codec._encode_pass(codec.params, y, z_symbols, scale, 1.0)
             float(jnp.sum(out[2].astype(jnp.int32)))  # real execution fence
-        x_hat, y_hat, sym16, sym8, idx, flags = out
+        x_hat, y_hat, sym16, sym8, idx, flags, _sym32 = out
         with t.section("c.rans_encode"):
             rans = codec._rans_encode(sym16, idx, codec._dev_tables)
             float(jnp.sum(rans["img_n"]))  # real execution fence
