@@ -75,7 +75,10 @@ def parse_args(argv=None):
                         "entropy path stays fp32 — reference AMP, "
                         "utils/training.py:44-52). bfloat16_mixed keeps the "
                         "GDN norm contraction in bf16 w/ f32 accumulation "
-                        "(no per-block cast round trips)")
+                        "(no per-block cast round trips). Default: "
+                        "bfloat16_mixed on accelerators (measured -10.6%% "
+                        "ms/step vs fp32, interleaved in-program A/B), "
+                        "float32 with --cpu")
     return p.parse_args(argv)
 
 
@@ -114,6 +117,11 @@ def main(argv=None):
     from mlic_tpu.utils.logger import MetricsWriter
 
     model = get_model(args.model)
+    if args.transform_dtype is None:
+        # Measured on TPU v5e (tools/microbench.py MB_SET=train, interleaved
+        # in-program A/B): bfloat16_mixed 21.6-21.7 vs fp32 24.2-24.3
+        # ms/step.  CPU keeps fp32 (bf16 is emulated there).
+        args.transform_dtype = "float32" if args.cpu else "bfloat16_mixed"
     if args.transform_dtype:
         import dataclasses
         model = type(model)(cfg=dataclasses.replace(
