@@ -73,6 +73,28 @@ def _dl_bucket(n: int, minimum: int = 1 << 12) -> int:
     return ((n + step - 1) // step) * step
 
 
+def auto_lanes(cfg, h: int, w: int, max_lanes: int = 256,
+               min_lanes: int = 16, sym_per_lane: int = 64) -> int:
+    """Size-adaptive rANS lane count (``Codec(n_lanes="auto")``).
+
+    Interleaved-rANS state costs 4 B/lane/image (the only per-lane stream
+    overhead left in format v3/v4), and every coding phase pads its
+    symbols to a lane multiple — so small images want narrow codecs.
+    Picks the largest power of two keeping >= ``sym_per_lane`` y symbols
+    per lane, clamped to [``min_lanes``, ``max_lanes``]: at eval/bench
+    sizes (>= ~256^2) this saturates at ``max_lanes`` (the historical
+    fixed default — large-image behavior is unchanged), while a 64^2 tile
+    drops to ``min_lanes``, saving ~1 KB of state+padding on a sub-KB
+    stream.  More lanes = shorter decode scans but more state overhead;
+    throughput-tuned large-batch serving should keep passing an explicit
+    count (bench.py uses 512)."""
+    h64 = -(-int(h) // 64) * 64
+    w64 = -(-int(w) // 64) * 64
+    n_sym = (h64 // 16) * (w64 // 16) * cfg.M
+    lanes = 1 << (max(n_sym // sym_per_lane, 1).bit_length() - 1)
+    return max(min_lanes, min(max_lanes, lanes))
+
+
 def make_analyze_fn(model):
     """g_a + h_a + z quantization, plus an int16 twin of z for the slim
     host download (guarded by the encode-pass z-overflow flag)."""
@@ -180,13 +202,18 @@ class Codec:
     """compress()/decompress() driver around a trained MLICPlusPlus."""
 
     def __init__(self, model: MLICPlusPlus, params: Any, backend: str = "steps",
-                 n_lanes: int = 256, encode_recon: bool = True):
+                 n_lanes: int | str = "auto", encode_recon: bool = True):
         if backend not in ("steps", "fused", "device"):
             raise ValueError(f"unknown backend {backend!r}")
         self.model = model
         self.params = params
         self.backend = backend
-        self.n_lanes = n_lanes
+        # "auto": lane count resolves at first use — from the image size
+        # on compress (``auto_lanes``) or from the stream header on
+        # decompress (streams are self-describing, so a decode-only codec
+        # follows whatever width the encoder chose).
+        self.n_lanes: Optional[int] = (None if n_lanes == "auto"
+                                       else int(n_lanes))
         # encode_recon=False drops the encode-side g_s synthesis (and the
         # x_hat key from compress results) — the reference's compress never
         # synthesizes either; keep True where eval asserts enc/dec equality.
@@ -217,11 +244,6 @@ class Codec:
             lambda p, s, isc: model.apply({"params": p}, s, isc,
                                           method=cls.z_step))
         if backend == "device":
-            self._device_pass = jax.jit(
-                lambda p, zs, w, lb, tables, sc, ns, zqs, ev, eb: model.apply(
-                    {"params": p}, zs, w, lb, tables, sc, n_lanes, ns, zqs,
-                    ev, eb, method=cls.codec_device_pass),
-                static_argnums=(6,))
             self._dev_n_steps = 12
             self.parametric = False  # set by update()
             self._encode_pass = jax.jit(
@@ -233,7 +255,6 @@ class Codec:
             # Streams are format v3 (global emission order): no per-lane
             # begin table — 4 B/lane smaller files AND the per-lane
             # metadata round trips shrink to one word count per image.
-            from mlic_tpu.entropy.device_rans import encode_interleaved_device
             self.device_encode = os.environ.get(
                 "MLIC_DEVICE_ENCODE", "1") == "1"
             # Stream format v4 (default): the hyper-latent is coded INLINE
@@ -246,20 +267,8 @@ class Codec:
             self._z_rows_base = 0
             self._z_steps_row = 0
             self._comb_cache: dict[float, Any] = {}
-            n_ph = 2 * model.cfg.slice_num
-            self._rans_encode = jax.jit(
-                lambda sym, idx, tables: encode_interleaved_device(
-                    sym, idx, tables, n_lanes, n_ph, fmt="global"))
-
-            # ONE-dispatch encode: analyze + context pass + device rANS in
-            # a single program.  On the shared axon runtime each dispatched
-            # program pays queueing/time-slice overhead that can dwarf its
-            # device time (measured: the 20-phase encode pass runs 21
-            # ms/batch inside one program vs 200+ ms/img dispatched in
-            # pieces in a contended window) — so the encode side submits
-            # exactly one program.
-            self._encode_full = jax.jit(
-                make_encode_full(model, n_lanes, encode_recon))
+            if self.n_lanes is not None:
+                self._build_lane_programs()
         if backend == "fused":
             self._fused = jax.jit(
                 lambda p, y, zs, sc, zqs: model.apply(
@@ -284,6 +293,43 @@ class Codec:
             self._finish = jax.jit(
                 lambda p, st: model.apply({"params": p}, st,
                                           method=cls.codec_finish))
+
+    # ------------------------------------------------------------------
+    def _build_lane_programs(self):
+        """Lane-count-specialized jits (device backend).  Deferred for
+        ``n_lanes="auto"`` codecs until the count resolves — see
+        ``_resolve_lanes``."""
+        from mlic_tpu.entropy.device_rans import encode_interleaved_device
+        model, cls, n_lanes = self.model, type(self.model), self.n_lanes
+        self._device_pass = jax.jit(
+            lambda p, zs, w, lb, tables, sc, ns, zqs, ev, eb: model.apply(
+                {"params": p}, zs, w, lb, tables, sc, n_lanes, ns, zqs,
+                ev, eb, method=cls.codec_device_pass),
+            static_argnums=(6,))
+        n_ph = 2 * model.cfg.slice_num
+        self._rans_encode = jax.jit(
+            lambda sym, idx, tables: encode_interleaved_device(
+                sym, idx, tables, n_lanes, n_ph, fmt="global"))
+        # ONE-dispatch encode: analyze + context pass + device rANS in
+        # a single program.  On the shared axon runtime each dispatched
+        # program pays queueing/time-slice overhead that can dwarf its
+        # device time (measured: the 20-phase encode pass runs 21
+        # ms/batch inside one program vs 200+ ms/img dispatched in
+        # pieces in a contended window) — so the encode side submits
+        # exactly one program.
+        self._encode_full = jax.jit(
+            make_encode_full(model, n_lanes, self.encode_recon))
+
+    def _resolve_lanes(self, lanes: int):
+        """Fix an ``n_lanes="auto"`` codec to a concrete lane count and
+        build the deferred lane-specialized programs.  Resolution happens
+        ONCE per codec (the compiled executables are lane-specialized);
+        construct one codec per lane width to mix widths in a session."""
+        self.n_lanes = int(lanes)
+        if self.backend == "device":
+            self._build_lane_programs()
+            if self.unified_z and self._eb is not None:
+                self._build_unified()
 
     # ------------------------------------------------------------------
     def update(self, scale_table: np.ndarray | None = None, force: bool = True):
@@ -344,6 +390,8 @@ class Codec:
                    or not hasattr(self, "_encode_full_v4"))
         self._z_rows_base = n_g
         self._z_steps_row = steps
+        if self.n_lanes is None:
+            return  # "auto": the v4 jits build at lane resolution
         if rebuild:
             model, cls = self.model, type(self.model)
             self._encode_full_v4 = jax.jit(make_encode_full(
@@ -613,6 +661,9 @@ class Codec:
         dispatch order, so correctness is unaffected)."""
         assert self.backend == "device", "begin/end split is device-backend only"
         self._require_tables()
+        if self.n_lanes is None:
+            self._resolve_lanes(auto_lanes(self.model.cfg,
+                                           x.shape[1], x.shape[2]))
         t0 = time.perf_counter()
         scale = self._scale_for(s, inputscale)
         z_qs = self._z_qs_for(s, inputscale)
@@ -727,6 +778,9 @@ class Codec:
             return self.compress_end(self.compress_begin(x, s, inputscale))
 
         self._require_tables()
+        if self.n_lanes is None:
+            self._resolve_lanes(auto_lanes(self.model.cfg,
+                                           x.shape[1], x.shape[2]))
         batch = x.shape[0]
         t0 = time.perf_counter()
         scale = self._scale_for(s, inputscale)
@@ -774,6 +828,12 @@ class Codec:
         execution, blocking on ``x_hat`` itself when needed.  ``cost_time``
         then measures dispatch, not completion."""
         self._require_tables()
+        if self.n_lanes is None and strings[0]:
+            # Decode-only codec: follow the stream's own lane count (all
+            # formats lead with it) — no width coordination needed between
+            # encoder and decoder processes.
+            from mlic_tpu.entropy.rans.coder import stream_lanes
+            self._resolve_lanes(stream_lanes(strings[0][0]))
         t0 = time.perf_counter()
         scale = self._scale_for(s, inputscale)
         z_qs = self._z_qs_for(s, inputscale)

@@ -384,6 +384,15 @@ def stream_is_global(stream: bytes) -> bool:
     return bool(np.frombuffer(stream[:4], dtype=np.uint32)[0] & _V3_FLAG)
 
 
+def stream_lanes(stream: bytes) -> int:
+    """Lane count from any y-stream header: every format (v2 per-lane
+    blocks, v3/v4 global order) leads with uint32 n_lanes, v3/v4 OR-ed
+    with the format flag bits.  Lets a decode-only ``Codec`` resolve its
+    width from the stream itself."""
+    head = np.frombuffer(stream[:4], dtype=np.uint32)[0]
+    return int(head & ~(_V3_FLAG | _V4_FLAG))
+
+
 def stream_is_unified(stream: bytes) -> bool:
     """True if the stream is format v4 (hyper-latent coded inline)."""
     if len(stream) < 4:
