@@ -84,8 +84,8 @@ def auto_lanes(cfg, h: int, w: int, max_lanes: int = 256,
     per lane, clamped to [``min_lanes``, ``max_lanes``]: at eval/bench
     sizes (>= ~256^2) this saturates at ``max_lanes`` (the historical
     fixed default — large-image behavior is unchanged), while a 64^2 tile
-    drops to ``min_lanes``, saving ~1 KB of state+padding on a sub-KB
-    stream.  More lanes = shorter decode scans but more state overhead;
+    drops to 16-32 lanes depending on M (16 for MLICPP_TINY, 32 for
+    MLICPP_S), saving ~1 KB of state+padding on a sub-KB stream.  More lanes = shorter decode scans but more state overhead;
     throughput-tuned large-batch serving should keep passing an explicit
     count (bench.py uses 512)."""
     h64 = -(-int(h) // 64) * 64
@@ -205,6 +205,14 @@ class Codec:
                  n_lanes: int | str = "auto", encode_recon: bool = True):
         if backend not in ("steps", "fused", "device"):
             raise ValueError(f"unknown backend {backend!r}")
+        if n_lanes != "auto":
+            nl = int(n_lanes)
+            if not 1 <= nl <= 4096 or nl & (nl - 1):
+                # Streams are self-describing (the header leads with the
+                # lane count) and decoders sanity-check it against this
+                # same constraint — keep encoders and decoders agreeing.
+                raise ValueError(
+                    f"n_lanes must be a power of two in [1, 4096], got {nl}")
         self.model = model
         self.params = params
         self.backend = backend
@@ -324,7 +332,10 @@ class Codec:
         """Fix an ``n_lanes="auto"`` codec to a concrete lane count and
         build the deferred lane-specialized programs.  Resolution happens
         ONCE per codec (the compiled executables are lane-specialized);
-        construct one codec per lane width to mix widths in a session."""
+        construct one codec per lane width to mix widths in a session.
+        ``_check_auto_width`` warns when a later image would have wanted a
+        much wider codec (e.g. a session that warmed up on a small tile)."""
+        self._auto_resolved = True
         self.n_lanes = int(lanes)
         if self.backend == "device":
             self._build_lane_programs()
@@ -496,6 +507,26 @@ class Codec:
         if self._gc is None or self._eb is None:
             self.update()
 
+    def _check_auto_width(self, h: int, w: int):
+        """Auto lane resolution is sticky (the compiled programs are
+        lane-specialized): a codec that resolved on a small tile keeps its
+        narrow width for the whole session.  Decode stays bit-exact at any
+        width, but a much larger image then codes with needlessly short
+        lanes (longer decode scans).  Warn once so the caller knows to
+        build a per-size codec if that matters."""
+        if not getattr(self, "_auto_resolved", False) \
+                or getattr(self, "_warned_auto_width", False):
+            return
+        want = auto_lanes(self.model.cfg, h, w)
+        if want >= 4 * self.n_lanes:
+            import warnings
+            warnings.warn(
+                f"Codec resolved n_lanes={self.n_lanes} from its first "
+                f"image, but a {h}x{w} image would pick {want}; lane count "
+                "is fixed per codec — construct a separate Codec for large "
+                "images to keep decode scans short.", stacklevel=3)
+            self._warned_auto_width = True
+
     def _scale_for(self, s: int, inputscale: float):
         """Coding-time gain.  Fixed-rate models skip the device gather
         entirely (a dispatched one-op program per compress/decompress call
@@ -664,6 +695,8 @@ class Codec:
         if self.n_lanes is None:
             self._resolve_lanes(auto_lanes(self.model.cfg,
                                            x.shape[1], x.shape[2]))
+        else:
+            self._check_auto_width(x.shape[1], x.shape[2])
         t0 = time.perf_counter()
         scale = self._scale_for(s, inputscale)
         z_qs = self._z_qs_for(s, inputscale)
@@ -781,6 +814,8 @@ class Codec:
         if self.n_lanes is None:
             self._resolve_lanes(auto_lanes(self.model.cfg,
                                            x.shape[1], x.shape[2]))
+        else:
+            self._check_auto_width(x.shape[1], x.shape[2])
         batch = x.shape[0]
         t0 = time.perf_counter()
         scale = self._scale_for(s, inputscale)
@@ -828,10 +863,14 @@ class Codec:
         execution, blocking on ``x_hat`` itself when needed.  ``cost_time``
         then measures dispatch, not completion."""
         self._require_tables()
-        if self.n_lanes is None and strings[0]:
-            # Decode-only codec: follow the stream's own lane count (all
-            # formats lead with it) — no width coordination needed between
-            # encoder and decoder processes.
+        if self.n_lanes is None and self.backend == "device" and strings[0]:
+            # Decode-only DEVICE codec: follow the stream's own lane count
+            # (the device formats v2/v3/v4 all lead with it) — no width
+            # coordination needed between encoder and decoder processes.
+            # The steps backend's y streams are raw ``encode_with_indexes``
+            # output with NO lane header, and its decode path never needs a
+            # lane count — it resolves lazily from the image size on the
+            # first compress instead.
             from mlic_tpu.entropy.rans.coder import stream_lanes
             self._resolve_lanes(stream_lanes(strings[0][0]))
         t0 = time.perf_counter()

@@ -385,12 +385,26 @@ def stream_is_global(stream: bytes) -> bool:
 
 
 def stream_lanes(stream: bytes) -> int:
-    """Lane count from any y-stream header: every format (v2 per-lane
-    blocks, v3/v4 global order) leads with uint32 n_lanes, v3/v4 OR-ed
-    with the format flag bits.  Lets a decode-only ``Codec`` resolve its
-    width from the stream itself."""
-    head = np.frombuffer(stream[:4], dtype=np.uint32)[0]
-    return int(head & ~(_V3_FLAG | _V4_FLAG))
+    """Lane count from a DEVICE-format y-stream header: every device
+    format (v2 per-lane blocks, v3/v4 global order) leads with uint32
+    n_lanes, v3/v4 OR-ed with the format flag bits.  Lets a decode-only
+    ``Codec`` resolve its width from the stream itself.
+
+    The result drives jit program construction, so a corrupted or
+    foreign-format header (e.g. the steps backend's raw rANS streams,
+    which have no header) must fail loudly here: requires >= 4 bytes and
+    a power-of-two count in [1, 4096] (the encoder-side constraint —
+    ``Codec.__init__``); raises ``ValueError`` otherwise."""
+    if len(stream) < 4:
+        raise ValueError(
+            f"stream too short for a lane-count header ({len(stream)} B)")
+    head = int(np.frombuffer(stream[:4], dtype=np.uint32)[0])
+    lanes = head & ~int(_V3_FLAG | _V4_FLAG)
+    if not 1 <= lanes <= 4096 or lanes & (lanes - 1):
+        raise ValueError(
+            f"implausible lane count {lanes} in stream header — corrupted "
+            "stream or not a device-format stream")
+    return lanes
 
 
 def stream_is_unified(stream: bytes) -> bool:

@@ -78,8 +78,9 @@ def test_decode_only_codec_follows_stream_lanes(tiny):
 
 
 def test_steps_backend_auto_roundtrip(tiny):
-    """The host-coder backend resolves lanes the same way (its v3 streams
-    pay the same per-lane state)."""
+    """The steps backend resolves lanes from the image size on compress
+    (its y streams are raw single-stream rANS with NO lane header, and its
+    decode path never reads a lane count)."""
     model, params, x = tiny
     codec = Codec(model, params, backend="steps")
     codec.update()
@@ -88,3 +89,72 @@ def test_steps_backend_auto_roundtrip(tiny):
     dec = codec.decompress(enc["strings"], enc["shape"])
     np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
                                   np.asarray(enc["x_hat"]))
+
+
+def test_steps_decode_only_codec_ignores_headerless_streams(tiny):
+    """A decode-only steps codec (tools/decode.py default) must NOT read a
+    lane count out of its headerless streams — previously entropy-coded
+    payload bytes parsed as garbage lane counts (ADVICE r3)."""
+    model, params, x = tiny
+    c_enc = Codec(model, params, backend="steps")
+    c_enc.update()
+    enc = c_enc.compress(x)
+    c_dec = Codec(model, params, backend="steps")  # fresh, auto, decode-first
+    c_dec.update()
+    dec = c_dec.decompress(enc["strings"], enc["shape"])
+    assert c_dec.n_lanes is None  # steps decode never needs (or fakes) one
+    np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
+                                  np.asarray(enc["x_hat"]))
+
+
+def test_auto_codec_rejects_corrupt_lane_header(tiny):
+    """Corrupted/truncated headers must raise a clean ValueError before
+    they drive jit program construction (device decode-only auto codec)."""
+    model, params, x = tiny
+    c_enc = Codec(model, params, backend="device", n_lanes=16)
+    c_enc.update()
+    enc = c_enc.compress(x)
+    good = enc["strings"][0][0]
+
+    # implausible lane count in the header (flags preserved)
+    head = np.frombuffer(good[:4], np.uint32)[0]
+    flags = head & np.uint32(0xC0000000)
+    bad_head = np.asarray([np.uint32(491077105) & np.uint32(0x3FFFFFFF)
+                           | flags], np.uint32).tobytes()
+    corrupt = bad_head + good[4:]
+    c_dec = Codec(model, params, backend="device")
+    c_dec.update()
+    with pytest.raises(ValueError, match="lane count"):
+        c_dec.decompress([[corrupt], enc["strings"][1]], enc["shape"])
+
+    # stream truncated below the header size
+    c_dec2 = Codec(model, params, backend="device")
+    c_dec2.update()
+    with pytest.raises(ValueError, match="too short"):
+        c_dec2.decompress([[good[:2]], enc["strings"][1]], enc["shape"])
+
+
+def test_codec_rejects_non_pow2_lanes(tiny):
+    model, params, _ = tiny
+    with pytest.raises(ValueError, match="power of two"):
+        Codec(model, params, backend="device", n_lanes=24)
+    with pytest.raises(ValueError, match="power of two"):
+        Codec(model, params, backend="device", n_lanes=8192)
+
+
+def test_auto_codec_warns_on_much_larger_image(tiny):
+    """Sticky auto resolution: a codec that resolved on a small tile warns
+    (once) when it later sees an image that wants a much wider codec."""
+    import warnings
+
+    model, params, x = tiny
+    codec = Codec(model, params, backend="steps")
+    codec.update()
+    codec.compress(x)  # resolves narrow from the 64^2 tile
+    big = np.tile(np.asarray(x), (1, 8, 8, 1))  # 512^2 wants >= 4x lanes
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        codec.compress(big)
+        codec.compress(big)  # second time: already warned, stays silent
+    msgs = [w for w in rec if "lane count is fixed" in str(w.message)]
+    assert len(msgs) == 1
