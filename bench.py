@@ -5,6 +5,21 @@ Baseline is the repo north-star (BASELINE.json): >= 20 Kodak 768x512
 images/sec/chip enc+dec on TPU v5e.  The reference publishes no wall-clock
 numbers (BASELINE.md), so vs_baseline is measured against that target.
 
+Two regimes, both always measured (declared in BASELINE.md):
+
+* **staged** (the HEADLINE ``value``): input batches resident on device
+  before the clock starts — the reference's ``cost_time`` semantics
+  (``MLIC++/models/mlicpp.py:199-201``: compress is timed with the tensor
+  already on the GPU).  This is codec capability, judged against the
+  20 img/s target.  Measured as the median of >= 3 segments over >= 8
+  distinct pre-staged batches, with MXU/HBM/RTT co-probes recorded before
+  and after so contended captures are identifiable post-hoc (the dev-tunnel
+  chip is multi-tenant; co-tenant HBM traffic stretches these HBM-bound
+  programs 5-6x in phases while MXU-resident matmuls stay fast).
+* **pipelined** (``extra.pipelined_img_s``): end-to-end including the
+  host->device image upload through the dev tunnel (1.5-60 MB/s weather) —
+  this environment's deliverable rate, not codec capability.
+
 Runs on whatever accelerator jax exposes (the driver provides one real TPU
 chip); uses synthetic Kodak-shaped images (no dataset egress in this env).
 """
@@ -49,6 +64,30 @@ def main():
     content = os.environ.get("BENCH_CONTENT", "dead_leaves")
     h, w = 512, 768  # Kodak portrait/landscape canonical size
 
+    # Trained weights: BENCH_CKPT env, else the per-model default bench
+    # checkpoint ckpts/bench_default_<MODEL> (ckpts/bench_default is the
+    # historical MLICPP_S one).  Random-init weights produce escape-heavy
+    # streams ~10x the trained rate — unrepresentative of deployment — so
+    # a model with NO trained checkpoint REFUSES to bench (before paying
+    # the multi-minute init) unless BENCH_ALLOW_RANDOM=1 explicitly opts in
+    # (load_matching is shape-filtered, so pointing a foreign checkpoint at
+    # a model would silently load nothing and mislabel a random-init run as
+    # trained).
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpt = os.environ.get("BENCH_CKPT", "")
+    if not ckpt:
+        candidates = [os.path.join(here, "ckpts", f"bench_default_{model_name}")]
+        if model_name == "MLICPP_S":
+            candidates.append(os.path.join(here, "ckpts", "bench_default"))
+        ckpt = next((c for c in candidates if os.path.isdir(c)), "")
+    if not ckpt and os.environ.get("BENCH_ALLOW_RANDOM", "0") != "1":
+        print(f"bench.py: no trained checkpoint for {model_name} "
+              f"(looked for ckpts/bench_default_{model_name}; set BENCH_CKPT "
+              "or BENCH_ALLOW_RANDOM=1 to bench random-init weights — their "
+              "escape-heavy streams are ~10x the trained rate and "
+              "unrepresentative).", file=sys.stderr, flush=True)
+        sys.exit(2)
+
     model = get_model(model_name)
     if os.environ.get("BENCH_BF16", "1") == "1":
         import dataclasses
@@ -63,17 +102,6 @@ def main():
     jax.block_until_ready(params)
     vlog(f"init: {time.perf_counter()-t:.1f}s")
 
-    # Trained weights if available: BENCH_CKPT env, else the repo's default
-    # bench checkpoint (escape-heavy random-init streams are ~10x the rate
-    # of trained ones and unrepresentative of deployment).
-    # The repo default checkpoint holds MLICPP_S weights; load_matching is
-    # shape-filtered, so pointing it at another model would silently load
-    # nothing and mislabel a random-init run as trained.
-    default_ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "ckpts", "bench_default")
-    ckpt = os.environ.get("BENCH_CKPT",
-                          default_ckpt if os.path.isdir(default_ckpt)
-                          and model_name == "MLICPP_S" else "")
     if ckpt:
         import orbax.checkpoint as ocp
 
@@ -93,6 +121,7 @@ def main():
     vlog(f"update: {time.perf_counter()-t:.1f}s")
 
     images = []
+    pool = None
     if content == "dead_leaves":
         # Non-tiled full-frame dead-leaves content (scale-invariant disk
         # occlusions): no periodic structure for the context models to
@@ -114,11 +143,8 @@ def main():
             images.append(np.round(img * 255).astype(np.uint8))
 
     # BENCH_STAGED=1: pre-stage every input batch on the device before the
-    # clock starts — the reference's cost_time semantics (its compress is
-    # timed with the tensor already on the GPU, mlicpp.py:199-201).  The
-    # default (0) counts the host->device image upload too, which through
-    # the dev tunnel (1.5-60 MB/s, weather-dependent) dominates and
-    # measures the link, not the codec.
+    # clock starts and make the MAIN loop staged (legacy switch; the staged
+    # regime is now always measured via the segment probe below).
     staged = os.environ.get("BENCH_STAGED", "0") == "1"
     if staged:
         dev = jax.devices()[0]
@@ -140,11 +166,6 @@ def main():
     # pipeline would.  All work is still counted; the clock stops after
     # the last checksum.
     pipeline = os.environ.get("BENCH_PIPELINE", "1") == "1"
-    # Per-batch timing: the dev-tunnel TPU is SHARED — co-tenant HBM
-    # traffic was measured stretching these (HBM-bound) programs 5-6x
-    # while MXU-resident matmul probes stayed fast.  Report the median
-    # batch rate as the value and best/worst in extra so one contended
-    # window doesn't masquerade as codec capability (or vice versa).
     total_bits = 0
     n = n_batches * batch
     bpp = 0.0
@@ -156,13 +177,18 @@ def main():
         # overlaps its stream downloads / z coding / parsing of batch i
         # with the device compute of batch i+1.  All work is counted — the
         # clock stops only after every x_hat checksum is fetched.
+        # Entries may be callables (lazily device-gathered staged batches:
+        # materializing 8+ uint8 batches of 128 Kodak frames up front costs
+        # ~1.2 GB HBM; the gather itself is a sub-ms on-device copy counted
+        # inside the timed section).
+        get = lambda e: e() if callable(e) else e
         bits = 0
         t0 = time.perf_counter()
-        h_enc = codec.compress_begin(imgs[0])
+        h_enc = codec.compress_begin(get(imgs[0]))
         dec_pending = None  # (dec dict) awaiting checksum
         for k in range(len(imgs)):
-            nxt = codec.compress_begin(imgs[k + 1]) if k + 1 < len(imgs) \
-                else None
+            nxt = codec.compress_begin(get(imgs[k + 1])) \
+                if k + 1 < len(imgs) else None
             enc = codec.compress_end(h_enc)
             bits += 8 * sum(len(s) for g in enc["strings"] for s in g)
             dec = codec.decompress(enc["strings"], enc["shape"], wait=False)
@@ -175,54 +201,101 @@ def main():
         assert np.isfinite(checksum)
         return time.perf_counter() - t0, bits
 
+    def make_quiet_probes():
+        """Co-probes for post-hoc contention triage (PARITY 'shared-chip
+        contention'): a chained MXU matmul (stays fast under co-tenant HBM
+        traffic), an HBM-bandwidth sweep (stretches with it, like the codec
+        programs), and a bare scalar fetch (tunnel RTT + rescheduling
+        stall).  Each timing includes one fetch; rtt_ms calibrates it."""
+        a = jnp.ones((2048, 2048), jnp.bfloat16)
+        mm = jax.jit(lambda a_: jax.lax.fori_loop(
+            0, 64, lambda i, c: (c @ a_) * 0.5, a_)[0, 0])
+        big = jnp.ones((64, 1 << 20), jnp.float32)  # 256 MB resident
+        hb = jax.jit(lambda b_: jax.lax.fori_loop(
+            0, 32, lambda i, acc: acc + (b_ * (1.0 + i)).sum(), 0.0))
+        one = jnp.zeros((), jnp.float32)
+        float(mm(a)); float(hb(big)); float(one + 0)  # compile + warm
+
+        def probe():
+            t0 = time.perf_counter(); float(mm(a))
+            mxu = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(hb(big))
+            hbm = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(one + 0)
+            rtt = time.perf_counter() - t0
+            return {"mxu64_ms": round(mxu * 1e3, 1),
+                    "hbm8gb_ms": round(hbm * 1e3, 1),
+                    "rtt_ms": round(rtt * 1e3, 1)}
+        return probe
+
     if pipeline and backend == "device":
         elapsed, total_bits = pipeline_run(images[1:n_batches + 1])
-        imgs_per_sec = n / elapsed
+        pipelined_img_s = n / elapsed
         bpp = total_bits / (n * h * w)
         extra["aggregation"] = "pipelined_aggregate"
         if not staged and os.environ.get("BENCH_STAGED_PROBE", "1") == "1":
-            # Device-resident-input probe: the reference's cost_time
-            # semantics (its compress is timed with the tensor already on
-            # the GPU, mlicpp.py:199-201).  The main number above counts
-            # the host->device image upload through the dev tunnel
-            # (1.5-60 MB/s weather), which a production-attached TPU would
-            # not pay; this probe isolates codec capability from the link.
-            # Inputs are staged cheaply by uploading the frame pool once
-            # and gathering batches on-device.
+            # Staged regime (the headline): >= 8 distinct device-resident
+            # batches, median over >= 3 segments, quietness co-probes
+            # before/after.  r3's single 3-buffer capture recorded whatever
+            # window the driver hit (5.13 vs builder 12.7 img/s same code).
             try:
                 dev = jax.devices()[0]
+                n_buf = max(8, min(n_batches, 12))
                 if content == "dead_leaves":
                     pool_dev = jax.device_put(np.asarray(pool), dev)
-                    st_imgs = [pool_dev[jnp.asarray(
-                        [(k * batch + i) % len(pool) for i in range(batch)])]
-                        for k in range(3)]
+                    jax.block_until_ready(pool_dev)
+                    gather = jax.jit(lambda p_, i_: p_[i_])
+                    # stride-7 rotations: 8 distinct index patterns over the
+                    # 24-frame pool (stride-batch collapses to 3 mod 24)
+                    idxs = [jnp.asarray([(k * 7 + i) % len(pool)
+                                         for i in range(batch)], jnp.int32)
+                            for k in range(n_buf)]
+                    jax.block_until_ready(idxs)
+                    staged_seq = [(lambda k=k: gather(pool_dev, idxs[k]))
+                                  for k in range(n_buf)]
                 else:
-                    st_imgs = [jax.device_put(images[k], dev)
-                               for k in range(3)]
-                jax.block_until_ready(st_imgs)
-                # Cycle the 3 staged batches for the full batch count so the
-                # un-overlapped pipeline ramp/drain (one decode ~5 s at batch
-                # 128) amortizes like the headline number — a 3-batch probe
-                # understated staged throughput ~2.5x (4.7 vs 12.6 img/s in
-                # a same-window A/B).
-                st_seq = [st_imgs[k % 3] for k in range(n_batches)]
-                st_elapsed, _ = pipeline_run(st_seq)
-                extra["staged_img_s"] = round(n / st_elapsed, 4)
+                    bufs = [jax.device_put(images[1 + k % n_batches], dev)
+                            for k in range(n_buf)]
+                    jax.block_until_ready(bufs)
+                    staged_seq = [(lambda k=k: bufs[k]) for k in range(n_buf)]
+                probe = make_quiet_probes()
+                extra["quiet_before"] = probe()
+                segs = int(os.environ.get("BENCH_STAGED_SEGS", "3"))
+                rates = []
+                for s_ in range(segs):
+                    seq = [staged_seq[(s_ + k) % n_buf]
+                           for k in range(n_batches)]
+                    st_elapsed, _ = pipeline_run(seq)
+                    rates.append(n / st_elapsed)
+                    vlog(f"staged seg{s_}: {rates[-1]:.2f} img/s")
+                extra["quiet_after"] = probe()
+                rates.sort()
+                extra["staged_img_s"] = round(rates[len(rates) // 2], 4)
+                extra["staged_best"] = round(rates[-1], 4)
+                extra["staged_worst"] = round(rates[0], 4)
+                extra["staged_segments"] = segs
+                extra["staged_buffers"] = n_buf
             except Exception as e:  # the probe must never sink the bench
                 extra["staged_probe_error"] = repr(e)[:200]
-        # Sequential one-batch probe for the enc/dec split (the reference
-        # times encode and decode separately, utils/testing.py:403-424; in
-        # the pipeline they overlap, so the split is measured unpipelined).
-        tb = time.perf_counter()
-        enc = codec.compress(images[0])
-        te = time.perf_counter()
-        dec = codec.decompress(enc["strings"], enc["shape"])
-        checksum = float(jnp.sum(dec["x_hat"]))
-        assert np.isfinite(checksum)
-        td = time.perf_counter()
-        extra["enc_img_s"] = round(batch / (te - tb), 4)
-        extra["dec_img_s"] = round(batch / (td - te), 4)
-        extra["split"] = "sequential_probe_batch"
+        # Sequential probe for the enc/dec split (the reference times
+        # encode and decode separately, utils/testing.py:403-424; in the
+        # pipeline they overlap, so the split is measured unpipelined).
+        # Median of 3 so one contended dispatch doesn't define the split.
+        et, dt = [], []
+        for k in range(3):
+            tb = time.perf_counter()
+            enc = codec.compress(images[1 + k % n_batches])
+            te = time.perf_counter()
+            dec = codec.decompress(enc["strings"], enc["shape"])
+            checksum = float(jnp.sum(dec["x_hat"]))
+            assert np.isfinite(checksum)
+            td = time.perf_counter()
+            et.append(te - tb)
+            dt.append(td - te)
+        med = lambda ts: sorted(ts)[len(ts) // 2]
+        extra["enc_img_s"] = round(batch / med(et), 4)
+        extra["dec_img_s"] = round(batch / med(dt), 4)
+        extra["split"] = "sequential_probe_batch_median3"
     else:
         batch_times = []
         enc_times = []
@@ -252,7 +325,7 @@ def main():
             batch_times.append(td - tb)
         elapsed = time.perf_counter() - t0
         bt = sorted(batch_times)
-        imgs_per_sec = batch / bt[len(bt) // 2]
+        pipelined_img_s = batch / bt[len(bt) // 2]
         bpp = total_bits / (n * h * w)
         med = lambda ts: sorted(ts)[len(ts) // 2]
         extra.update({
@@ -263,11 +336,25 @@ def main():
             "worst": round(batch / bt[-1], 4),
             "mean": round(n / elapsed, 4)})
 
+    # Headline: the staged regime (codec capability, reference cost_time
+    # semantics — declared in BASELINE.md).  Falls back to the pipelined
+    # number, labeled, if the staged probe didn't run.
+    if staged:
+        value = pipelined_img_s  # main loop was staged (BENCH_STAGED=1)
+        extra["regime"] = "staged_main"
+    elif "staged_img_s" in extra:
+        value = extra["staged_img_s"]
+        extra["regime"] = "staged_median"
+        extra["pipelined_img_s"] = round(pipelined_img_s, 4)
+    else:
+        value = pipelined_img_s
+        extra["regime"] = "pipelined_fallback"
+
     result = {
         "metric": f"kodak_768x512_encdec_images_per_sec_per_chip[{model_name}]",
-        "value": round(imgs_per_sec, 4),
+        "value": round(value, 4),
         "unit": "img/s",
-        "vs_baseline": round(imgs_per_sec / 20.0, 4),
+        "vs_baseline": round(value / 20.0, 4),
         "extra": {("bpp" if ckpt else "bpp_random_init"): round(bpp, 4),
                   "n_images": n, "batch": batch, "backend": backend,
                   "ckpt": bool(ckpt), "device": str(jax.devices()[0]),
