@@ -107,60 +107,119 @@ def make_analyze_fn(model):
     return _analyze_fn
 
 
+def make_encode_rans(model, n_lanes: int, unified_z: bool = False,
+                     z_rows_base: int = 0, analytic_rows: int = 0):
+    """Stage-2 encode program: (start, freq) prep + phase_order layout +
+    rANS scan + stream compaction, taking the context pass's symbol/index
+    arrays as PROGRAM PARAMETERS.
+
+    Run as its OWN dispatch this compiles the ~450-op select+erfc prep
+    chain into a single fusion (4.4 ms/batch-8); inlined after the
+    transform/context producers XLA shatters the same chain into ~1.9k
+    materializing sub-fusions (141 ms — r4 HLO diff, identical op counts).
+    Dispatch count is not the axon bottleneck (sync points are): the codec
+    chains stage 1 and stage 2 asynchronously with one final fence.
+
+    v4 (``unified_z``): signature (sym32, idx, z_flat, tables); the z
+    section is prepped via the gather path (factorized-prior rows) ahead
+    of the analytic y phases.  v3: signature (sym, idx, tables)."""
+    from mlic_tpu.entropy.device_rans import (
+        _PAD_FREQM1,
+        _PAD_START,
+        compact_streams_global,
+        encode_interleaved_device,
+        encode_scan_prepped,
+        phase_order,
+        prep_flat,
+    )
+    n_ph = 2 * model.cfg.slice_num
+
+    if not unified_z:
+        def _encode_rans_v3(sym, idx, tables):
+            return encode_interleaved_device(sym, idx, tables, n_lanes,
+                                             n_ph, fmt="global",
+                                             analytic_rows=analytic_rows)
+        return _encode_rans_v3
+
+    def _encode_rans_v4(sym32, idx, z_flat, tables):
+        # Prep (start/freq/escape) runs in the canonical [B, n] layout
+        # BEFORE phase_order — see ``prep_flat``.  The z section
+        # (factorized-prior rows) uses the gather path; the y phases the
+        # analytic one.
+        b = sym32.shape[0]
+        N = model.cfg.N
+        pad_row = z_rows_base - 1
+        z_rows = z_rows_base + (
+            jnp.arange(z_flat.shape[1], dtype=jnp.int32) % N)
+        z_rows = jnp.broadcast_to(z_rows[None], z_flat.shape)
+        st_z, fm_z, esc_z = prep_flat(z_flat, z_rows, tables, 0)
+        st_y, fm_y, esc_y = prep_flat(sym32, idx, tables, analytic_rows)
+        n_per = sym32.shape[1] // n_ph
+
+        def parts(az, ay, pv):
+            ps = [phase_order(az, n_lanes, pad_row, pv)]
+            for k in range(n_ph):
+                ps.append(phase_order(ay[:, k * n_per:(k + 1) * n_per],
+                                      n_lanes, pad_row, pv))
+            return jnp.concatenate(ps, 0)
+
+        xs, words, emits = encode_scan_prepped(
+            parts(st_z, st_y, _PAD_START), parts(fm_z, fm_y, _PAD_FREQM1))
+        return compact_streams_global(
+            xs, words, emits, parts(esc_z, esc_y, False),
+            parts(z_flat, sym32, 0), b)
+
+    return _encode_rans_v4
+
+
+def make_encode_ctx(model, encode_recon: bool):
+    """Stage-1 encode program: analyze + context pass, no entropy coding.
+    Paired with ``make_encode_rans`` for the two-dispatch encode chain."""
+    cls = type(model)
+    analyze = make_analyze_fn(model)
+
+    def _encode_ctx(p, x, sc, zqs):
+        y, z_symbols, z16 = analyze(p, x, zqs)
+        out = model.apply({"params": p}, y, z_symbols, sc, zqs,
+                          encode_recon, method=cls.codec_encode_pass)
+        x_hat, y_hat, sym16, sym8, idx, flags, sym32 = out
+        return {"y": y, "z_symbols": z_symbols, "z16": z16,
+                "x_hat": x_hat, "y_hat": y_hat, "sym16": sym16,
+                "sym8": sym8, "idx": idx, "flags": flags, "sym32": sym32,
+                "z_flat": z_symbols.reshape(sym32.shape[0], -1)}
+
+    return _encode_ctx
+
+
 def make_encode_full(model, n_lanes: int, encode_recon: bool,
-                     unified_z: bool = False, z_rows_base: int = 0):
+                     unified_z: bool = False, z_rows_base: int = 0,
+                     analytic_rows: int = 0):
     """ONE-dispatch encode program: analyze + context pass + device rANS.
     Factored out of ``Codec`` so the data-parallel serving path
     (``parallel/serving.py``) can wrap the same traced function in
     ``shard_map`` — each device runs the identical program on its batch
-    shard.
+    shard.  (The local codec defaults to the two-dispatch chain instead —
+    see ``make_encode_rans`` for why.)
 
     ``unified_z=True`` emits stream format v4: the hyper-latent's symbols
     are coded into the SAME interleaved stream as z-section phases ahead of
     the y phases (factorized-prior rows live at ids >= ``z_rows_base`` in
     the combined table) — no host entropy coding and no z-symbol transfers
     remain in either direction."""
-    from mlic_tpu.entropy.device_rans import (
-        encode_interleaved_device,
-        encode_positions_device,
-        phase_order,
-    )
-    cls = type(model)
-    n_ph = 2 * model.cfg.slice_num
-    analyze = make_analyze_fn(model)
+    encode_ctx = make_encode_ctx(model, encode_recon)
+    encode_rans = make_encode_rans(model, n_lanes, unified_z, z_rows_base,
+                                   analytic_rows)
 
     def _encode_full(p, x, sc, zqs, tables):
-        y, z_symbols, z16 = analyze(p, x, zqs)
-        out = model.apply({"params": p}, y, z_symbols, sc, zqs,
-                          encode_recon, method=cls.codec_encode_pass)
-        x_hat, y_hat, sym16, sym8, idx, flags, sym32 = out
+        h = encode_ctx(p, x, sc, zqs)
         if unified_z:
-            b = sym32.shape[0]
-            N = model.cfg.N
-            pad_row = z_rows_base - 1
-            z_flat = z_symbols.reshape(b, -1)
-            z_rows = z_rows_base + (
-                jnp.arange(z_flat.shape[1], dtype=jnp.int32) % N)
-            z_rows = jnp.broadcast_to(z_rows[None], z_flat.shape)
-            parts_s = [phase_order(z_flat, n_lanes, pad_row, 0)]
-            parts_r = [phase_order(z_rows, n_lanes, pad_row, pad_row)]
-            n_per = sym32.shape[1] // n_ph
-            idx32 = idx.astype(jnp.int32)
-            for k in range(n_ph):
-                sl = slice(k * n_per, (k + 1) * n_per)
-                parts_s.append(phase_order(sym32[:, sl], n_lanes, pad_row, 0))
-                parts_r.append(phase_order(idx32[:, sl], n_lanes, pad_row,
-                                           pad_row))
-            rans = encode_positions_device(
-                jnp.concatenate(parts_s, 0), jnp.concatenate(parts_r, 0),
-                tables, b, fmt="global")
+            rans = encode_rans(h["sym32"], h["idx"], h["z_flat"], tables)
         else:
-            rans = encode_interleaved_device(sym16, idx, tables, n_lanes,
-                                             n_ph, fmt="global")
-        return {"y": y, "z_symbols": z_symbols, "z16": z16,
-                "x_hat": x_hat, "y_hat": y_hat, "sym16": sym16,
-                "sym8": sym8, "idx": idx, "flags": flags,
-                "rans": rans}
+            rans = encode_rans(h["sym16"], h["idx"], tables)
+        h = dict(h)
+        del h["sym32"], h["z_flat"]
+        h["rans"] = rans
+        return h
 
     return _encode_full
 
@@ -254,6 +313,7 @@ class Codec:
         if backend == "device":
             self._dev_n_steps = 12
             self.parametric = False  # set by update()
+            self.analytic_enc_rows = 0  # set by update() (self_check_encode)
             self._encode_pass = jax.jit(
                 lambda p, y, zs, sc, zqs: model.apply(
                     {"params": p}, y, zs, sc, zqs, encode_recon,
@@ -272,6 +332,16 @@ class Codec:
             # (separate host-coded z strings).
             self.unified_z = self.device_encode and os.environ.get(
                 "MLIC_UNIFIED_Z", "1") == "1"
+            # Two-dispatch encode chain (default): stage 1 analyze+context,
+            # stage 2 prep+scan+compact with the symbols as program
+            # parameters.  One program shatters the prep chain's fusion
+            # (see make_encode_rans); the chain stays fully async with one
+            # final fence, so no extra sync points.  MLIC_SPLIT_ENCODE=0
+            # restores the single-program encode.
+            self.split_encode = os.environ.get(
+                "MLIC_SPLIT_ENCODE", "1") == "1"
+            self._encode_ctx = jax.jit(
+                make_encode_ctx(model, encode_recon))
             self._z_rows_base = 0
             self._z_steps_row = 0
             self._comb_cache: dict[float, Any] = {}
@@ -309,6 +379,7 @@ class Codec:
         ``_resolve_lanes``."""
         from mlic_tpu.entropy.device_rans import encode_interleaved_device
         model, cls, n_lanes = self.model, type(self.model), self.n_lanes
+        an_rows = getattr(self, "analytic_enc_rows", 0)
         self._device_pass = jax.jit(
             lambda p, zs, w, lb, tables, sc, ns, zqs, ev, eb: model.apply(
                 {"params": p}, zs, w, lb, tables, sc, n_lanes, ns, zqs,
@@ -317,7 +388,8 @@ class Codec:
         n_ph = 2 * model.cfg.slice_num
         self._rans_encode = jax.jit(
             lambda sym, idx, tables: encode_interleaved_device(
-                sym, idx, tables, n_lanes, n_ph, fmt="global"))
+                sym, idx, tables, n_lanes, n_ph, fmt="global",
+                analytic_rows=an_rows))
         # ONE-dispatch encode: analyze + context pass + device rANS in
         # a single program.  On the shared axon runtime each dispatched
         # program pays queueing/time-slice overhead that can dwarf its
@@ -326,7 +398,8 @@ class Codec:
         # pieces in a contended window) — so the encode side submits
         # exactly one program.
         self._encode_full = jax.jit(
-            make_encode_full(model, n_lanes, self.encode_recon))
+            make_encode_full(model, n_lanes, self.encode_recon,
+                             analytic_rows=an_rows))
 
     def _resolve_lanes(self, lanes: int):
         """Fix an ``n_lanes="auto"`` codec to a concrete lane count and
@@ -397,17 +470,23 @@ class Codec:
         self._comb_cache = {}
         comb, n_g, steps = self._combined_tables(self._eb)
         self._comb_cache[1.0] = comb
+        an_rows = getattr(self, "analytic_enc_rows", 0)
         rebuild = (self._z_rows_base != n_g
+                   or getattr(self, "_v4_analytic_rows", -1) != an_rows
                    or not hasattr(self, "_encode_full_v4"))
         self._z_rows_base = n_g
         self._z_steps_row = steps
         if self.n_lanes is None:
             return  # "auto": the v4 jits build at lane resolution
         if rebuild:
+            self._v4_analytic_rows = an_rows
             model, cls = self.model, type(self.model)
             self._encode_full_v4 = jax.jit(make_encode_full(
                 model, self.n_lanes, self.encode_recon, unified_z=True,
-                z_rows_base=n_g))
+                z_rows_base=n_g, analytic_rows=an_rows))
+            self._encode_rans2_v4 = jax.jit(make_encode_rans(
+                model, self.n_lanes, unified_z=True, z_rows_base=n_g,
+                analytic_rows=an_rows))
             base = n_g
             self._device_pass_v4 = jax.jit(
                 lambda p, w, ib, tables, sc, zqs, ev, eb, zh, zw, ns, zsr: (
@@ -466,24 +545,42 @@ class Codec:
         cache_dir = os.environ.get(
             "MLIC_TABLE_CACHE",
             os.path.expanduser("~/.cache/mlic_tpu_tables"))
+        # b"r4-selrows": salt bumped when the self-check program SHAPES
+        # change (the verdicts certify those shapes) — forces one fresh
+        # validation pass per table under the current access pattern.
         key = hashlib.sha256(
             np.ascontiguousarray(scale_table).tobytes()
-            + params.tobytes() + lengths.tobytes()).hexdigest()[:24]
+            + params.tobytes() + lengths.tobytes()
+            + b"r4-selrows").hexdigest()[:24]
         cache_file = os.path.join(cache_dir, f"gauss_{key}.npz") if cache_dir else ""
         table = None
+        enc_ok = None
         if cache_file and os.path.exists(cache_file):
-            table = np.load(cache_file)["table"]
+            cached = np.load(cache_file)
+            table = cached["table"]
+            if "enc_ok" in cached.files:
+                enc_ok = bool(cached["enc_ok"])
+
+        def _write_cache():
+            if cache_file:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = cache_file + f".tmp{os.getpid()}.npz"
+                np.savez_compressed(tmp, table=np.asarray(table),
+                                    enc_ok=np.asarray(bool(enc_ok)))
+                os.replace(tmp, cache_file)
+
         if table is None:
             table = parametric.generate_tables(params, lengths)
             if (parametric.validate_tables(table, lengths)
                     and parametric.self_check(params, table, lengths)):
-                if cache_file:
-                    os.makedirs(cache_dir, exist_ok=True)
-                    tmp = cache_file + f".tmp{os.getpid()}.npz"
-                    np.savez_compressed(tmp, table=np.asarray(table))
-                    os.replace(tmp, cache_file)
+                enc_ok = parametric.self_check_encode(params, table, lengths)
+                _write_cache()
             else:
                 table = None
+        elif enc_ok is None:
+            # cache written by a pre-r4 build: add the encode verdict
+            enc_ok = parametric.self_check_encode(params, table, lengths)
+            _write_cache()
         if table is not None:
             table = np.asarray(table)
             self._gc_ext = (table, lengths, offsets)
@@ -491,7 +588,15 @@ class Codec:
                                                         offsets, table)
             self._dev_n_steps = parametric.bisect_steps(lengths)
             self.parametric = True
+            # Gather-free ANALYTIC encode prep (r4): enabled only when the
+            # encode-shaped program reproduces the integer table bit-exactly
+            # (device_rans.analytic_start_freq; ~70 ms/batch-8 of gathers
+            # otherwise).  Rebuild the encode jits so the static flag lands.
+            self.analytic_enc_rows = params.shape[0] if enc_ok else 0
+            if self.n_lanes is not None:
+                self._build_lane_programs()
             return
+        self.analytic_enc_rows = 0
         # Fallback: host-built largest-remainder tables + cf LUTs.
         self.parametric = False
         n, t = self._gc.quantized_cdf.shape
@@ -704,8 +809,23 @@ class Codec:
         if x.dtype != jnp.uint8:
             x = x.astype(jnp.float32)
         if self.device_encode:
+            if self.split_encode:
+                # Two-dispatch chain: context program, then the rANS
+                # program over its device-resident outputs.  Both async —
+                # the fence stays in compress_end (see make_encode_rans
+                # for why the fusion boundary matters).
+                h = dict(self._encode_ctx(self.params, x, scale, z_qs))
+                if self.unified_z:
+                    h["rans"] = self._encode_rans2_v4(
+                        h.pop("sym32"), h["idx"], h.pop("z_flat"),
+                        self._dev_tables_for(z_qs))
+                else:
+                    h.pop("sym32")
+                    h.pop("z_flat")
+                    h["rans"] = self._rans_encode(h["sym16"], h["idx"],
+                                                  self._dev_tables)
             # Single-dispatch path: one program for the whole encode side.
-            if self.unified_z:
+            elif self.unified_z:
                 h = dict(self._encode_full_v4(self.params, x, scale, z_qs,
                                               self._dev_tables_for(z_qs)))
             else:

@@ -36,6 +36,8 @@ Everything is uint32 math under ``jax.jit``; no host callbacks.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,6 +47,17 @@ from mlic_tpu.entropy import parametric
 PROB_BITS = 16
 _RANS_L = np.uint32(1 << 16)
 _MASK16 = np.uint32((1 << 16) - 1)
+
+# lax.scan unroll factors for the rANS scans.  Unrolling U steps per
+# iteration amortizes XLA's per-iteration while-loop overhead U-fold at
+# zero semantic cost (bit-identical streams; asserted by the byte-parity
+# tests).  Measured r4 ([1956, 4096] encode scan): 9.4 ms at unroll=1 vs
+# 3.7 ms at unroll=8.  The DECODE body is ~10x larger (12-level erfc
+# bisection + renorm cumsum), so its unroll multiplies compile size/time
+# substantially (single-core CPU CI compiles measured in minutes at 8) —
+# keep it small by default.
+_ENC_UNROLL = int(os.environ.get("MLIC_RANS_UNROLL_ENC", "8"))
+_DEC_UNROLL = int(os.environ.get("MLIC_RANS_UNROLL_DEC", "2"))
 
 
 def device_tables(cdfs: np.ndarray, cdf_lengths: np.ndarray,
@@ -262,16 +275,19 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
         return step
 
     def _step_parametric(tables):
-        row_params = tables["row_params"]
-        max_value_t = tables["max_value"]
-        offsets_t = tables["offsets"]
         total_m1 = jnp.int32((1 << PROB_BITS) - 1)
 
-        def step(c, row):
+        def step(c, p):
+            # p: tuple of six [L] column arrays (m, b, A, C, B, L), pre-
+            # looked-up for ALL steps by the decode wrapper via
+            # ``select_rows`` (flat layout — see that docstring).  Support
+            # and offset derive from the L column: max_value = L,
+            # offset = -(L-1)/2 (L = 2c+1; pad row L=1).
+            pm, pb, pA, pC, pB, pL = p
             x, ptr = c
+            max_value = pL.astype(jnp.int32)
+            off = -((max_value - 1) >> 1)
             cf = (x & _MASK16).astype(jnp.int32)
-            p = row_params[row]                    # [L, 6] tiny gather
-            max_value = max_value_t[row]           # == L_row
             # Escape is row-independent by construction: cdf(L) = 2^16 - 1.
             esc = cf == total_m1
             # Lockstep bisection on the analytically evaluated cdf.
@@ -282,7 +298,7 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
             for _ in range(n_steps):
                 guard = (hi - lo) > 1
                 mid = (lo + hi) >> 1
-                v_mid = parametric.eval_cdf(mid, p)
+                v_mid = parametric.eval_cdf_parts(mid, pm, pb, pA, pC, pB)
                 take = (v_mid <= cf) & guard
                 keep = guard & ~take
                 lo = jnp.where(take, mid, lo)
@@ -293,11 +309,12 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
             freq = jnp.where(esc, 1, v_hi - v_lo).astype(jnp.uint32)
             x = freq * (x >> 16) + (x & _MASK16) - start
             x, ptr = renorm(x, ptr)
-            return (x, ptr), (lo + offsets_t[row], esc)
+            return (x, ptr), (lo + off, esc)
 
         return step
 
-    def decode(carry, indexes, tables, n_steps_row: int | None = None):
+    def decode(carry, indexes, tables, n_steps_row: int | None = None,
+               pre_cols: tuple | None = None):
         x, ptr, esc_count = carry
         L = x.shape[0]
         n = indexes.shape[0]
@@ -305,11 +322,26 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
         idx_sl = indexes.reshape(steps, L)
         if "row_params" in tables:
             step = _step_parametric(tables)
+            # Rows are known before the scan: fetch the per-row params for
+            # ALL steps as six flat [steps, L] column arrays (select_rows —
+            # gathers are ~8 ns/elem on v5e and [steps, L, 6] pads its
+            # minor dim 21x) and barrier so XLA does not re-fuse the
+            # lookup into the scan body.  Callers that hold the indexes in
+            # canonical (pre-transpose) layout should pass ``pre_cols``
+            # (select_rows there, then reorder each column once) — running
+            # the chain on a fused-transpose producer re-executes the
+            # transpose per select (see ``prep_flat``).
+            if pre_cols is None:
+                pre_cols = select_rows(idx_sl, tables["row_params"])
+            xs = jax.lax.optimization_barrier(tuple(pre_cols))
         elif "lut_sf" in tables:
             step = _step_lut(tables)
+            xs = idx_sl
         else:
             step = _step_rowtab(tables, n_steps_row or n_steps)
-        (x, ptr), (sym, esc) = jax.lax.scan(step, (x, ptr), idx_sl)
+            xs = idx_sl
+        (x, ptr), (sym, esc) = jax.lax.scan(step, (x, ptr), xs,
+                                            unroll=_DEC_UNROLL)
         # Side-channel patch: per-image position-order escape numbering.
         B = esc_begin.shape[0]
         lanes = L // B
@@ -343,7 +375,112 @@ def make_decoder(words: jax.Array, n_steps: int = 12,
 # ----------------------------------------------------------------------
 
 
-def encode_lanes(sym: jax.Array, row: jax.Array, tables: dict):
+def _select_rows_core(row: jax.Array, table: jax.Array) -> list[jax.Array]:
+    n_rows, k = table.shape
+    accs = [jnp.broadcast_to(table[0, j], row.shape) for j in range(k)]
+    for r in range(1, n_rows):
+        eq = row == r
+        accs = [jnp.where(eq, table[r, j], a) for j, a in enumerate(accs)]
+    return accs
+
+
+def select_rows(row: jax.Array, table: jax.Array) -> list[jax.Array]:
+    """Row lookup ``table[row]``, per COLUMN, as a fused compare-select
+    chain — the TPU-native answer for tiny tables.
+
+    Two measured v5e pathologies this sidesteps (r4 probes):
+    * dynamic gathers lower near-scalar (~8 ns/element: a [1956, 4096]
+      lookup from a 66-row table costs 60-85 ms — the whole encode budget);
+    * ANY value shaped [..., n_cols] pads its minor dim to 128 lanes, so
+      a [S, L, 6] params array 21x-amplifies every byte (measured ~97
+      ms/batch-8 for both one-hot-matmul and stacked select variants).
+
+    Per-column chains keep everything in the flat [S, L] layout and fuse
+    into the erfc consumers: ~n_rows compare+selects per element on the
+    VPU, zero extra materialization.  Exact by construction (selected
+    values are the table's own f32 scalars).
+
+    CAVEAT (r4 HLO diff): the XLA chain compiles to ONE fusion / 4.4 ms
+    only when its row input is a program PARAMETER.  Inside the big codec
+    program (producers fused upstream) XLA shatters the chain into ~1.9k
+    materializing sub-fusions (141 ms); a ``lax.map`` chunk loop does NOT
+    restore the fusion (still 142 ms in-program, and 3x slower standalone).
+    Two defenses: the encode side runs its prep in its OWN dispatch
+    (``Codec._build_lane_programs``), and on real TPU this routes through
+    the ``ops/pallas_select`` kernel — an opaque custom call the fusion
+    pass cannot shatter (required for DECODE, whose row indexes are
+    computed mid-program and cannot be hoisted)."""
+    from mlic_tpu.ops.pallas_select import select_rows_pallas, use_pallas_select
+    if use_pallas_select():
+        return select_rows_pallas(row, table)
+    return list(_select_rows_core(row, table))
+
+
+def analytic_start_freq(sym: jax.Array, row: jax.Array, row_params: jax.Array):
+    """(start u16, freq-1 u16, esc) per symbol from the analytic quantized-
+    Gaussian CDF — the encode-side twin of the decode bisection's
+    ``parametric.eval_cdf`` path, with the row constants fetched by
+    ``select_rows`` instead of gathers.  Valid for rows < len(row_params)
+    (the Gaussian rows + pad row); offsets and support derive from the L
+    column (off = -(L-1)/2, max_value = L), so no separate tables are
+    touched.  Exactness vs the integer table is asserted per update by
+    ``parametric.self_check_encode`` (gather fallback otherwise).
+
+    start <= 2^16 - 1 and freq - 1 <= 2^16 - 1 both fit uint16, halving
+    the materialized scan inputs.  Fusion caveat: see ``select_rows``."""
+    m, b, A, C, Bc, Lf = select_rows(row.astype(jnp.int32), row_params)
+    L = Lf.astype(jnp.int32)             # support size (exact in f32)
+    off = -((L - 1) >> 1)
+    mv = L
+    v = sym - off
+    esc = (v < 0) | (v >= mv)
+    slot = jnp.where(esc, mv, v)
+    v_lo = parametric.eval_cdf_parts(slot, m, b, A, C, Bc)
+    v_hi = parametric.eval_cdf_parts(slot + 1, m, b, A, C, Bc)
+    start16 = v_lo.astype(jnp.uint16)
+    freqm1 = (v_hi - v_lo - 1).astype(jnp.uint16)
+    return start16, freqm1, esc
+
+
+def _divmod_u32(x: jax.Array, fr: jax.Array, rcp: jax.Array):
+    """Exact ``divmod(x, fr)`` for uint32 ``x < fr * 2**16`` without integer
+    division (XLA lowers dynamic u32 division to a long multi-op expansion
+    on TPU; inside the encode scan it runs once per symbol).
+
+    ``rcp`` is float32 ``1/fr`` (any rounding): the float estimate
+    ``q0 = floor(f32(x) * rcp)`` carries relative error < 3*2^-24, and the
+    true quotient is < 2^16 (the rANS emit step guarantees x < fr<<16), so
+    q0 is within +-1 of the truth — one branchless correction each way
+    restores exactness for ALL admissible inputs (stress-tested at the
+    q-boundaries in tests/test_device_encode.py)."""
+    one = jnp.uint32(1)
+    q0 = (x.astype(jnp.float32) * rcp).astype(jnp.uint32)
+    r0 = x - q0 * fr                        # mod 2^32; wraps iff q0 == q+1
+    over = r0 >= jnp.uint32(1 << 31)
+    q1 = q0 - jnp.where(over, one, 0)
+    r1 = r0 + jnp.where(over, fr, 0)
+    under = r1 >= fr                        # q1 == q-1 leaves r1 in [fr, 2fr)
+    q = q1 + jnp.where(under, one, 0)
+    r = r1 - jnp.where(under, fr, 0)
+    return q, r
+
+
+def _gather_start_freq(sym: jax.Array, row: jax.Array, tables: dict):
+    """(start u16, freq-1 u16, esc) via integer-table gathers — the exact
+    fallback (non-Gaussian rows, LUT tables, and the v4 z section)."""
+    mv = tables["max_value"][row]
+    off = tables["offsets"][row]
+    v = sym - off
+    esc = (v < 0) | (v >= mv)
+    slot = jnp.where(esc, mv, v)
+    start = tables["cdf_rows"][row, slot]
+    nxt = tables["cdf_rows"][row, slot + 1]
+    return (start.astype(jnp.uint16),
+            (nxt - start - 1).astype(jnp.uint16), esc)
+
+
+def encode_lanes(sym: jax.Array, row: jax.Array, tables: dict,
+                 analytic_rows: int = 0, analytic_split: int = 0):
     """Lockstep rans16 encode of [S, L] position-ordered symbols.
 
     Args:
@@ -353,42 +490,72 @@ def encode_lanes(sym: jax.Array, row: jax.Array, tables: dict):
       tables: ``parametric_device_tables`` dict (analytic start/freq via
         ``eval_cdf``) or ``device_tables`` (gathers from the small
         slot-indexed ``cdf_rows``).
+      analytic_rows: if > 0, rows at steps >= ``analytic_split`` are all
+        < this count and their (start, freq) come from the ANALYTIC
+        quantized-Gaussian formula with ``onehot_rows`` param lookup — no
+        per-symbol gathers at all (a [1956, 4096] table gather measured
+        60-85 ms on v5e, r4; the whole encode scan is ~4 ms without it).
+        The codec enables this only after ``parametric.self_check_encode``
+        reproduces the integer table bit-exactly.
+      analytic_split: leading step count using the gather path (the v4
+        stream's z section — factorized-prior rows outside row_params).
     Returns:
       x     uint32 [L] final lane states
       words uint16 [S, L] emitted renorm word per (step, lane)
       emits bool   [S, L] emission mask
       esc   bool   [S, L] escape mask (value out of the row's support)
     """
-    mv = tables["max_value"][row]
-    off = tables["offsets"][row]
-    v = sym - off
-    esc = (v < 0) | (v >= mv)
-    slot = jnp.where(esc, mv, v)
-    # Always the integer table: exact agreement with the host encoder by
-    # construction (vectorized outside the scan, the rows are ~180 KB —
-    # unlike the decode scan's per-step LUT problem).
-    start = tables["cdf_rows"][row, slot]
-    nxt = tables["cdf_rows"][row, slot + 1]
-    start = start.astype(jnp.uint32)
-    freq = (nxt - start.astype(jnp.int32)).astype(jnp.uint32)
+    if analytic_rows and "row_params" in tables:
+        rp = tables["row_params"][:analytic_rows]
+        if analytic_split:
+            z = analytic_split
+            st_z, fm_z, esc_z = _gather_start_freq(sym[:z], row[:z], tables)
+            st_y, fm_y, esc_y = analytic_start_freq(sym[z:], row[z:], rp)
+            start16 = jnp.concatenate([st_z, st_y], 0)
+            freqm1 = jnp.concatenate([fm_z, fm_y], 0)
+            esc = jnp.concatenate([esc_z, esc_y], 0)
+        else:
+            start16, freqm1, esc = analytic_start_freq(sym, row, rp)
+    else:
+        start16, freqm1, esc = _gather_start_freq(sym, row, tables)
+    x, words, emits = encode_scan_prepped(start16, freqm1)
+    return x, words, emits, esc
+
+
+def encode_scan_prepped(start16: jax.Array, freqm1: jax.Array):
+    """The rANS encode scan over pre-computed (start, freq-1) uint16
+    arrays in [S, L] position order.  Returns (x, words, emits)."""
+    # Materialize (start, freq-1) BEFORE the scan: without the barrier XLA
+    # fuses the prep (gathers or erfc math) into the scan body and
+    # re-issues it per step — measured 75 ms vs ~4 ms for the identical
+    # scan over materialized inputs ([1956, 4096], r4 probe).  uint16
+    # halves the materialized bytes (start <= 2^16-1, freq-1 <= 2^16-1).
+    start16, freqm1 = jax.lax.optimization_barrier((start16, freqm1))
 
     def step(x, sf):
-        st, fr = sf
+        st16, fm = sf
+        st = st16.astype(jnp.uint32)
+        fr = fm.astype(jnp.uint32) + 1
+        # In-scan f32 reciprocal: _divmod_u32's +-1 correction tolerates
+        # ~100 ulp of rcp error, far above any XLA f32 divide.
+        rc = 1.0 / fr.astype(jnp.float32)
         emit = x >= (fr << 16)
         word = (x & _MASK16).astype(jnp.uint16)
         x = jnp.where(emit, x >> 16, x)
-        x = ((x // fr) << PROB_BITS) + (x % fr) + st
+        q, r = _divmod_u32(x, fr, rc)
+        x = (q << PROB_BITS) + r + st
         return x, (word, emit)
 
     # Initial state derives its shard_map varying-axis type from the inputs
     # (a bare constant carry is "unvarying" and scan rejects the carry-type
     # mismatch when this runs inside a sharded serving program).
-    x0 = _RANS_L + start[0] * 0
+    x0 = _RANS_L + start16[0].astype(jnp.uint32) * 0
     # reverse=True: last position encoded first (rANS is LIFO), but the
     # stacked outputs stay in FORWARD step order — which is exactly the
     # order the per-lane stream stores its renorm words.
-    x, (words, emits) = jax.lax.scan(step, x0, (start, freq), reverse=True)
-    return x, words, emits, esc
+    x, (words, emits) = jax.lax.scan(step, x0, (start16, freqm1),
+                                     reverse=True, unroll=_ENC_UNROLL)
+    return x, words, emits
 
 
 def compact_streams(x, words, emits, esc, sym, n_images: int):
@@ -497,9 +664,33 @@ def phase_order(flat: jax.Array, n_lanes: int, pad_row: int,
             .reshape(steps, b * n_lanes))
 
 
+# Pad-position (start, freq-1): the pad row's CDF is [0, 2^16-1, 2^16] in
+# every table family (parametric Gaussian, LUT fallback, v4 combined), so
+# pad symbols (value 0, slot 0) always see start=0, freq=2^16-1.
+_PAD_START = 0
+_PAD_FREQM1 = (1 << 16) - 2
+
+
+def prep_flat(sym: jax.Array, row: jax.Array, tables: dict,
+              analytic_rows: int = 0):
+    """(start u16, freq-1 u16, esc) in the CALLER's layout.
+
+    Run this on the canonical (pre-``phase_order``) arrays: the row-param
+    select chain reads its row input ~n_rows times, and when that input is
+    a fused transpose chain each read re-executes the transpose — measured
+    ~97 ms/batch-8 in-program vs ~2 ms over canonical inputs (r4).  Prep
+    first, then reorder the three outputs (one linear pass each)."""
+    sym = sym.astype(jnp.int32)
+    row = row.astype(jnp.int32)
+    if analytic_rows and "row_params" in tables:
+        return analytic_start_freq(sym, row,
+                                   tables["row_params"][:analytic_rows])
+    return _gather_start_freq(sym, row, tables)
+
+
 def encode_interleaved_device(sym: jax.Array, idx: jax.Array,
                               tables: dict, n_lanes: int, n_phases: int,
-                              fmt: str = "lanes"):
+                              fmt: str = "lanes", analytic_rows: int = 0):
     """Full device encode of the codec's concatenated per-phase symbols.
 
     Args:
@@ -509,32 +700,44 @@ def encode_interleaved_device(sym: jax.Array, idx: jax.Array,
       tables: decode-table dict (shared with the decoder).
       n_lanes: lanes per image; n_phases: static phase count.
       fmt: "lanes" (v2 per-lane blocks) or "global" (v3 emission order).
+      analytic_rows: see ``prep_flat``/``analytic_start_freq``.
     Returns the ``compact_streams`` / ``compact_streams_global`` dict.
     """
     b, total = sym.shape
     n_per = total // n_phases
     pad_row = int(tables["offsets"].shape[0] - 1)
     sym = sym.astype(jnp.int32)
-    idx = idx.astype(jnp.int32)
-    sym_steps = jnp.concatenate(
-        [phase_order(sym[:, k * n_per:(k + 1) * n_per], n_lanes, pad_row, 0)
-         for k in range(n_phases)], axis=0)
-    row_steps = jnp.concatenate(
-        [phase_order(idx[:, k * n_per:(k + 1) * n_per], n_lanes, pad_row,
-                     pad_row)
-         for k in range(n_phases)], axis=0)
-    return encode_positions_device(sym_steps, row_steps, tables, b, fmt)
+    st, fm, esc = prep_flat(sym, idx, tables, analytic_rows)
+
+    def parts(a, pv):
+        return jnp.concatenate(
+            [phase_order(a[:, k * n_per:(k + 1) * n_per], n_lanes, pad_row,
+                         pv) for k in range(n_phases)], axis=0)
+
+    x, words, emits = encode_scan_prepped(parts(st, _PAD_START),
+                                          parts(fm, _PAD_FREQM1))
+    sym_steps = parts(sym, 0)
+    esc_steps = parts(esc, False)
+    if fmt == "global":
+        return compact_streams_global(x, words, emits, esc_steps, sym_steps,
+                                      b)
+    return compact_streams(x, words, emits, esc_steps, sym_steps, b)
 
 
 def encode_positions_device(sym_steps: jax.Array, row_steps: jax.Array,
-                            tables: dict, n_images: int, fmt: str = "lanes"):
+                            tables: dict, n_images: int, fmt: str = "lanes",
+                            analytic_rows: int = 0, analytic_split: int = 0):
     """Encode pre-ordered [S, L] position arrays (``phase_order`` layout).
 
     The format-v4 path builds these directly so the hyper-latent's phases
     (factorized-prior rows, different per-phase sizes) can be PREPENDED to
     the Gaussian y phases in one stream — callers mix row id spaces freely
-    as long as ``tables['cdf_rows']/offsets/max_value`` covers them all."""
-    x, words, emits, esc = encode_lanes(sym_steps, row_steps, tables)
+    as long as ``tables['cdf_rows']/offsets/max_value`` covers them all.
+    ``analytic_rows``/``analytic_split``: see ``encode_lanes`` (the v4
+    caller sets the split to its z-section step count)."""
+    x, words, emits, esc = encode_lanes(sym_steps, row_steps, tables,
+                                        analytic_rows=analytic_rows,
+                                        analytic_split=analytic_split)
     if fmt == "global":
         return compact_streams_global(x, words, emits, esc, sym_steps,
                                       n_images)

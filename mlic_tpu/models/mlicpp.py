@@ -560,7 +560,19 @@ class MLICPlusPlus(nn.Module):
             flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=pad_row)
             # position order: step-major, image-major, lane-minor
             ordered = flat.reshape(b, steps, n_lanes).transpose(1, 0, 2).reshape(-1)
-            new_carry, sym = decode(carry, ordered, tables)
+            pre_cols = None
+            if "row_params" in tables:
+                # Row-param lookup in the CANONICAL layout, each column
+                # reordered once — the select chain on the transposed
+                # `ordered` re-executes the transpose per select
+                # (device_rans.prep_flat rationale).
+                from mlic_tpu.entropy.device_rans import select_rows
+                pre_cols = tuple(
+                    c.reshape(b, steps, n_lanes).transpose(1, 0, 2)
+                    .reshape(steps, b * n_lanes)
+                    for c in select_rows(flat, tables["row_params"]))
+            new_carry, sym = decode(carry, ordered, tables,
+                                    pre_cols=pre_cols)
             sym = sym.reshape(steps, b, n_lanes).transpose(1, 0, 2).reshape(b, -1)
             sym = sym[:, :n_img].reshape(mu_sq.shape)
             return new_carry, unsqueeze(self._phase_recon(sym, mu_sq, sc_sq, scale))

@@ -54,7 +54,9 @@ class ShardedCodec(Codec):
         self.n_dev = mesh.devices.size
         cls = type(model)
 
-        enc_local = make_encode_full(model, n_lanes, encode_recon)
+        enc_local = make_encode_full(
+            model, n_lanes, encode_recon,
+            analytic_rows=getattr(self, "analytic_enc_rows", 0))
 
         def enc_wrap(p, x, sc, zqs, tables):
             out = enc_local(p, x, sc, zqs, tables)
@@ -100,8 +102,9 @@ class ShardedCodec(Codec):
         base = self._z_rows_base
         model, cls = self.model, type(self.model)
         axis, mesh, nl = self.axis, self.mesh, self.n_lanes
-        enc_local = make_encode_full(model, nl, self.encode_recon,
-                                     unified_z=True, z_rows_base=base)
+        enc_local = make_encode_full(
+            model, nl, self.encode_recon, unified_z=True, z_rows_base=base,
+            analytic_rows=getattr(self, "analytic_enc_rows", 0))
         encode_recon = self.encode_recon
 
         def enc_wrap(p, x, sc, zqs, tables):

@@ -63,6 +63,44 @@ def _random_payload(tabs, rng, n, esc_rate=0.0):
     return sym, idx
 
 
+def test_divmod_u32_exact_at_boundaries():
+    """The scan's reciprocal-multiply divmod must be exact for every
+    admissible (x, fr): x < fr * 2^16, fr in [1, 2^16].  Stress the
+    q-boundary region (x = q*fr + {0, 1, fr-1}) where the float estimate
+    can land on either side, across the full freq range incl. 1, 2,
+    powers of two, 2^16, and odd values."""
+    import jax
+
+    from mlic_tpu.entropy.device_rans import _divmod_u32
+
+    rng = np.random.default_rng(42)
+    frs = np.unique(np.concatenate([
+        np.asarray([1, 2, 3, 5, 7, 255, 256, 257, 65535, 65536]),
+        2 ** np.arange(17),
+        rng.integers(1, 65537, 200),
+    ])).astype(np.uint64)
+    xs, fs = [], []
+    for fr in frs:
+        qmax = (fr << 16) - 1  # x < fr * 2^16  ->  q <= 2^16 - 1
+        qs = np.unique(np.concatenate([
+            np.asarray([0, 1, 2]), rng.integers(0, 1 << 16, 50),
+            np.asarray([(1 << 16) - 1])]))
+        for q in qs:
+            for rr in (0, 1, int(fr) - 1):
+                x = q * int(fr) + rr
+                if rr < fr and x <= qmax and x < (1 << 32):
+                    xs.append(x)
+                    fs.append(int(fr))
+    x = jnp.asarray(np.asarray(xs, np.uint32))
+    fr = jnp.asarray(np.asarray(fs, np.uint32))
+    rcp = 1.0 / fr.astype(jnp.float32)
+    q, r = jax.jit(_divmod_u32)(x, fr, rcp)
+    xs64 = np.asarray(xs, np.uint64)
+    fs64 = np.asarray(fs, np.uint64)
+    np.testing.assert_array_equal(np.asarray(q, np.uint64), xs64 // fs64)
+    np.testing.assert_array_equal(np.asarray(r, np.uint64), xs64 % fs64)
+
+
 @pytest.mark.parametrize("mode", ["lut", "parametric"])
 @pytest.mark.parametrize("esc_rate", [0.0, 0.03])
 def test_single_image_byte_parity(tabs, mode, esc_rate):
@@ -351,3 +389,42 @@ def test_compress_begin_end_pipeline_interleaving():
         dec = codec.decompress(e["strings"], e["shape"])
         np.testing.assert_array_equal(np.asarray(dec["x_hat"]),
                                       np.asarray(r["x_hat"]))
+
+
+def test_split_encode_matches_single_program():
+    """The two-dispatch encode chain (split_encode, default) must produce
+    byte-identical streams to the single-program encode on BOTH stream
+    formats (v4 unified and v3) — the split exists purely to give the
+    prep chain its own fusion pass (make_encode_rans docstring)."""
+    import os
+
+    import jax
+
+    from mlic_tpu.codec import Codec
+    from mlic_tpu.models.registry import get_model
+
+    model = get_model("MLICPP_TINY")
+    x = np.asarray(jax.random.uniform(jax.random.key(3), (2, 64, 64, 3)),
+                   np.float32)
+    params = jax.jit(lambda r, v: model.init(r, v, True))(
+        {"params": jax.random.key(4), "noise": jax.random.key(5)},
+        jnp.asarray(x))["params"]
+
+    for uz in ("1", "0"):
+        os.environ["MLIC_UNIFIED_Z"] = uz
+        try:
+            c_split = Codec(model, params, backend="device", n_lanes=16)
+            c_one = Codec(model, params, backend="device", n_lanes=16)
+        finally:
+            os.environ.pop("MLIC_UNIFIED_Z")
+        c_split.split_encode = True
+        c_one.split_encode = False
+        c_split.update()
+        c_one.update()
+        r1 = c_split.compress(x)
+        r2 = c_one.compress(x)
+        assert r1["strings"][0] == r2["strings"][0], f"y streams differ uz={uz}"
+        assert r1["strings"][1] == r2["strings"][1], f"z streams differ uz={uz}"
+        dec = c_one.decompress(r1["strings"], r1["shape"])
+        np.testing.assert_array_equal(np.asarray(dec["y_hat"]),
+                                      np.asarray(r1["y_hat"]))

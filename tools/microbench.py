@@ -54,22 +54,27 @@ def main():
     key = jax.random.key(0)
     rows = []
 
-    def scan_time(label, fn, x, count=1):
-        """Time ``fn(x, *extra)`` repeated ``reps`` times with a serial
-        dependency through a scalar carry."""
+    def scan_time(label, fn, x, count=1, n_reps=None):
+        """Time ``fn(x)`` repeated ``reps`` times with a serial dependency
+        through a scalar carry.  ``optimization_barrier`` ties each
+        iteration's inputs to the previous carry (dtype-agnostic — int
+        symbol arrays included) so XLA can neither hoist the body out of
+        the scan nor elide iterations."""
+        n_r = n_reps or reps
 
         def body(carry, _):
-            x_i = jax.tree.map(lambda a: a * (1.0 + 1e-30 * carry), x)
+            x_i, _c = jax.lax.optimization_barrier((x, carry))
             out = fn(x_i)
-            out0 = out[0] if isinstance(out, (tuple, list)) else out
+            leaves = jax.tree.leaves(out)
+            out0 = leaves[0]
             return jnp.sum(out0).astype(jnp.float32) * 1e-30, None
 
         prog = jax.jit(lambda: jax.lax.scan(body, jnp.zeros(()), None,
-                                            length=reps)[0])
+                                            length=n_r)[0])
         float(prog())  # compile + warm + fence
         t0 = time.perf_counter()
         float(prog())
-        ms = (time.perf_counter() - t0) / reps * 1000
+        ms = (time.perf_counter() - t0) / n_r * 1000
         rows.append({"module": label, "ms_per_call": round(ms, 3),
                      "calls_per_pass": count,
                      "ms_per_pass": round(ms * count, 3)})
@@ -171,6 +176,119 @@ def main():
                      "ms_per_call": round(ms, 3), "calls_per_pass": 1,
                      "ms_per_pass": round(ms, 3)})
         print(f"{'encode_pass dispatched xN':36s} {ms:8.3f} ms", flush=True)
+
+    if which == "encode":
+        # Encode-side budget split at the BENCH configuration (r4 VERDICT
+        # item 1): analyze (g_a+h_a) / 20-phase context pass / phase_order
+        # layout / rANS encode scan / stream compaction / whole
+        # _encode_full — each as an in-program scan with one fence.
+        import dataclasses
+
+        import numpy as np
+
+        from mlic_tpu.codec import Codec, make_analyze_fn, make_encode_full
+        from mlic_tpu.entropy.device_rans import (
+            compact_streams_global,
+            encode_lanes,
+            encode_positions_device,
+            phase_order,
+        )
+        from mlic_tpu.models.registry import get_model
+        model = get_model(name)
+        tdt = os.environ.get("MB_TDT", "bfloat16")
+        if tdt != "float32":
+            model = type(model)(cfg=dataclasses.replace(
+                model.cfg, transform_dtype=tdt))
+        rngs = {"params": jax.random.key(1), "noise": jax.random.key(2)}
+        x0 = jnp.zeros((B, H, W, 3), jnp.float32)
+        params = jax.jit(lambda r, v: model.init(r, v, True))(rngs, x0)["params"]
+        ckpt = os.environ.get("MB_CKPT", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ckpts", "bench_default"))
+        if os.path.isdir(ckpt) and name == "MLICPP_S":
+            import orbax.checkpoint as ocp
+
+            from mlic_tpu.utils.checkpoint import load_matching
+            raw = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+            params = load_matching(params, raw.get("params", raw))
+        n_lanes = int(os.environ.get("MB_LANES", "512"))
+        codec = Codec(model, params, backend="device", n_lanes=n_lanes,
+                      encode_recon=False)
+        codec.update()
+        tables = codec._dev_tables_for(1.0)
+        z_rows_base = codec._z_rows_base
+        from mlic_tpu.data.folder import dead_leaves_pool
+        pool = dead_leaves_pool(min(B, 24), H, seed=1303, width=W)
+        xf = jnp.asarray(np.asarray(pool)[
+            np.arange(B) % len(pool)]).astype(jnp.float32) / 255.0
+        cls = type(model)
+        n_ph = 2 * cfg.slice_num
+
+        analyze = make_analyze_fn(model)
+        scan_time("analyze(g_a+h_a+round)",
+                  lambda xx: analyze(params, xx, 1.0), xf)
+        # real latents for the downstream components
+        y, z_symbols, _z16 = jax.jit(analyze)(params, xf, 1.0)
+        jax.block_until_ready(y)
+
+        enc_pass = lambda yy: model.apply(
+            {"params": params}, yy, z_symbols, 1.0, 1.0, False,
+            method=cls.codec_encode_pass)
+        scan_time("codec_encode_pass(recon=False)", enc_pass, y)
+        out = jax.jit(enc_pass)(y)
+        _xh, _yh, sym16, _sym8, idx, _flags, sym32 = out
+        sym32 = jax.block_until_ready(sym32)
+        idx = jax.block_until_ready(idx)
+
+        pad_row = int(tables["offsets"].shape[0] - 1)
+
+        def layout(args):
+            s32, ii = args
+            ss = jnp.concatenate(
+                [phase_order(s32[:, k * (s32.shape[1] // n_ph):
+                                 (k + 1) * (s32.shape[1] // n_ph)],
+                             n_lanes, pad_row, 0) for k in range(n_ph)], 0)
+            rr = jnp.concatenate(
+                [phase_order(ii.astype(jnp.int32)[:, k * (ii.shape[1] // n_ph):
+                                                  (k + 1) * (ii.shape[1] // n_ph)],
+                             n_lanes, pad_row, pad_row) for k in range(n_ph)], 0)
+            return ss, rr
+
+        scan_time("phase_order layout (sym+idx)", layout, (sym32, idx))
+        sym_steps, row_steps = jax.jit(layout)((sym32, idx))
+        sym_steps = jax.block_until_ready(sym_steps)
+
+        an = codec.analytic_enc_rows
+        scan_time("rANS encode scan (gather prep)",
+                  lambda a: encode_lanes(a[0], a[1], tables),
+                  (sym_steps, row_steps))
+        if an:
+            scan_time("rANS encode scan (analytic prep)",
+                      lambda a: encode_lanes(a[0], a[1], tables,
+                                             analytic_rows=an),
+                      (sym_steps, row_steps))
+        xw = jax.jit(lambda a: encode_lanes(a[0], a[1], tables,
+                                            analytic_rows=an))(
+            (sym_steps, row_steps))
+        xst, words, emits, esc = jax.block_until_ready(xw)
+
+        scan_time("compact_streams_global",
+                  lambda a: compact_streams_global(a[0], a[1], a[2], a[3],
+                                                   sym_steps, B),
+                  (xst, words, emits, esc))
+
+        scan_time("rANS enc total (layout+scan+compact)",
+                  lambda a: encode_positions_device(
+                      *layout(a), tables, B, fmt="global",
+                      analytic_rows=an),
+                  (sym32, idx))
+
+        enc_full = make_encode_full(model, n_lanes, False, unified_z=True,
+                                    z_rows_base=z_rows_base,
+                                    analytic_rows=an)
+        scan_time("_encode_full (v4, whole program)",
+                  lambda xx: enc_full(params, xx, 1.0, 1.0, tables)["rans"],
+                  xf)
 
     if which == "decode":
         # True in-program cost of codec_device_pass (context stack + rANS
