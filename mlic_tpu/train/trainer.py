@@ -217,11 +217,59 @@ class Trainer:
             last = {k: float(v) for k, v in metrics.items()}
         return last
 
-    def evaluate(self, images: Iterable[np.ndarray]) -> dict:
-        totals, n = {}, 0
-        for img in images:
-            out = self.eval_step(self.state.params, jnp.asarray(img, jnp.float32))
-            for k in ("loss", "bpp_loss", "psnr"):
-                totals[k] = totals.get(k, 0.0) + float(out[k])
+    def evaluate(self, images: Iterable[np.ndarray],
+                 save_recon_dir: str | None = None,
+                 tag: str = "") -> dict:
+        """Full-image validation pass (reference ``test_one_epoch``,
+        ``MLIC++/utils/testing.py:107-201``): per-image RD forward with
+        round quantization, PSNR + MS-SSIM on the unpadded pixels,
+        mean aggregation, optional reconstruction dump.
+
+        Images may be [H,W,3] or [1,H,W,3] float in [0,1] of any size;
+        each is padded to the model's 64-multiple (metrics are computed
+        on the original extent only) — one jit specialization per padded
+        shape, so validation sets of uniform size compile once.
+
+        Returns means plus ``per_image`` rows
+        ``(psnr, ms_ssim, bpp, loss)`` for dispersion checks."""
+        from mlic_tpu.eval import pad_to_multiple
+        from mlic_tpu.metrics import ms_ssim as _ms_ssim
+
+        totals: dict[str, float] = {}
+        rows = []
+        n = 0
+        for i, img in enumerate(images):
+            x = np.asarray(img, np.float32)
+            if x.ndim == 3:
+                x = x[None]
+            h, w = x.shape[1:3]
+            padded, _ = pad_to_multiple(x)
+            out = self.eval_step(self.state.params, jnp.asarray(padded))
+            x_hat = np.asarray(out["x_hat"])[:, :h, :w]
+            mse = float(np.mean(np.square(x_hat - x)))
+            psnr = 10.0 * float(np.log10(1.0 / max(mse, 1e-12)))
+            msssim = float(_ms_ssim(jnp.asarray(x_hat), jnp.asarray(x))) \
+                if min(h, w) >= 176 else float("nan")
+            # bpp_loss was computed over the padded extent; rescale the
+            # bit count to the true pixel count like the reference does
+            # when it pads (testing.py computes bpp over original pixels).
+            bpp = float(out["bpp_loss"]) * (padded.shape[1] * padded.shape[2]) \
+                / (h * w)
+            row = {"psnr": psnr, "ms_ssim": msssim, "bpp": bpp,
+                   "loss": float(out["loss"])}
+            rows.append(row)
+            for k, v in row.items():
+                if not np.isnan(v):
+                    totals[k] = totals.get(k, 0.0) + v
+            if save_recon_dir is not None:
+                import os
+
+                from PIL import Image
+                os.makedirs(save_recon_dir, exist_ok=True)
+                rec = np.clip(x_hat[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                Image.fromarray(rec).save(
+                    f"{save_recon_dir}/{tag or 'val'}_img{i}.png")
             n += 1
-        return {k: v / max(n, 1) for k, v in totals.items()}
+        means = {k: v / max(n, 1) for k, v in totals.items()}
+        means["per_image"] = rows
+        return means

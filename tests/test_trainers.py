@@ -58,3 +58,26 @@ def test_eval_step_reports_psnr():
     out = ev(state.params, jnp.asarray(batch))
     assert np.isfinite(float(out["psnr"]))
     assert out["x_hat"].shape == (1, 64, 64, 3)
+
+
+def test_trainer_evaluate_full_images(tmp_path):
+    """Trainer.evaluate: per-image PSNR/MS-SSIM/bpp rows over odd-sized
+    full images (pad-to-64 inside, metrics on the true extent), recon dump
+    (reference test_one_epoch, MLIC++/utils/testing.py:107-201)."""
+    from mlic_tpu.train.trainer import Trainer
+
+    model = get_model("MLICPP_TINY")
+    tr = Trainer(model, TrainConfig(lmbda=0.013),
+                 input_shape=(1, 64, 64, 3))
+    rng = np.random.default_rng(3)
+    imgs = [rng.random((70, 90, 3), np.float32),    # odd size -> padded
+            rng.random((1, 64, 64, 3), np.float32)]  # batched form
+    out = tr.evaluate(imgs, save_recon_dir=str(tmp_path), tag="t")
+    assert len(out["per_image"]) == 2
+    for row in out["per_image"]:
+        assert np.isfinite(row["psnr"]) and np.isfinite(row["bpp"])
+        assert np.isnan(row["ms_ssim"])  # below the 5-scale minimum size
+    assert np.isfinite(out["psnr"]) and np.isfinite(out["loss"])
+    assert (tmp_path / "t_img0.png").exists()
+    from PIL import Image
+    assert Image.open(tmp_path / "t_img0.png").size == (90, 70)
