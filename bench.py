@@ -1,11 +1,30 @@
 """Benchmark: Kodak-size (768x512) enc+dec throughput per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline is the repo north-star (BASELINE.json): >= 20 Kodak 768x512
-images/sec/chip enc+dec on TPU v5e.  The reference publishes no wall-clock
-numbers (BASELINE.md), so vs_baseline is measured against that target.
+Prints ONE OR MORE JSON lines of the form
+{"metric", "value", "unit", "vs_baseline", "extra"} — the LAST line is the
+authoritative result (the driver takes the last parsed line).  Baseline is
+the repo north-star (BASELINE.json): >= 20 Kodak 768x512 images/sec/chip
+enc+dec on TPU v5e.  The reference publishes no wall-clock numbers
+(BASELINE.md), so vs_baseline is measured against that target.
 
-Two regimes, both always measured (declared in BASELINE.md):
+Failure envelope (r5, after the r4 driver run timed out with NOTHING
+captured — BENCH_r04.json rc=124 parsed=null):
+
+* the HEADLINE staged line is emitted IMMEDIATELY after the staged probe
+  and flushed — everything after it (enc/dec split, tunnel-inclusive
+  pipelined phase) only ever *adds* a superseding line with more fields;
+* a global deadline (``BENCH_DEADLINE`` seconds, default 900) gates every
+  later phase: past it, remaining phases are skipped and whatever exists
+  is printed;
+* SIGTERM (what ``timeout`` sends) and normal interpreter exit both fall
+  back to printing a labeled partial line instead of dying silent;
+* before touching jax device state, a subprocess probe (``timeout``-
+  guarded ``jax.devices()``) detects the documented axon tunnel-outage
+  mode (hangs forever, ~0% CPU — CLAUDE.md); on probe failure a
+  ``tunnel_down`` line is emitted instead of hanging past the driver
+  budget.
+
+Two regimes, both measured when time allows (declared in BASELINE.md):
 
 * **staged** (the HEADLINE ``value``): input batches resident on device
   before the clock starts — the reference's ``cost_time`` semantics
@@ -20,6 +39,9 @@ Two regimes, both always measured (declared in BASELINE.md):
   host->device image upload through the dev tunnel (1.5-60 MB/s weather) —
   this environment's deliverable rate, not codec capability.
 
+Set ``BENCH_OUT=path.json`` to also append every emitted line to a file
+(committed under results/ as machine-readable evidence for PARITY rows).
+
 Runs on whatever accelerator jax exposes (the driver provides one real TPU
 chip); uses synthetic Kodak-shaped images (no dataset egress in this env).
 """
@@ -28,15 +50,118 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_T0 = time.perf_counter()
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE", "900"))
+
+# Mutable measurement state shared with the fallback emitters.  ``value``
+# holds the best headline-quality number measured so far; ``extra`` grows
+# as phases complete; ``emitted`` counts printed JSON lines.
+_STATE = {
+    "value": None,
+    "regime": None,
+    "model": os.environ.get("BENCH_MODEL", "MLICPP_S"),
+    "extra": {},
+    "emitted": 0,
+}
+
+
+def _tleft() -> float:
+    return _DEADLINE - (time.perf_counter() - _T0)
+
+
+def _emit(value, regime, unit="img/s"):
+    """Print one self-contained result line and flush (and mirror to
+    BENCH_OUT if set).  Safe to call multiple times; the last line wins."""
+    extra = dict(_STATE["extra"])
+    extra["regime"] = regime
+    extra["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+    result = {
+        "metric": (f"kodak_768x512_encdec_images_per_sec_per_chip"
+                   f"[{_STATE['model']}]"),
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(float(value) / 20.0, 4),
+        "extra": extra,
+    }
+    line = json.dumps(result)
+    print(line, flush=True)
+    out = os.environ.get("BENCH_OUT", "")
+    if out:
+        try:
+            with open(out, "a") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+    _STATE["emitted"] += 1
+    _STATE["value"] = float(value)
+    _STATE["regime"] = regime
+
+
+def _emit_fallback(reason: str):
+    """Last-resort line: whatever was measured, labeled as partial."""
+    if _STATE["value"] is not None and _STATE["emitted"] == 0:
+        _STATE["extra"]["partial_reason"] = reason
+        _emit(_STATE["value"], f"partial_{_STATE['regime'] or 'unknown'}")
+    elif _STATE["emitted"] == 0:
+        _STATE["extra"]["partial_reason"] = reason
+        _emit(0.0, "no_measurement")
+
+
+def _install_guards():
+    import atexit
+
+    def on_term(signum, frame):  # `timeout` sends SIGTERM before SIGKILL
+        _emit_fallback(f"signal_{signum}")
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+    atexit.register(lambda: _emit_fallback("exit_before_emit"))
+
+
+def _tunnel_probe() -> bool:
+    """Run ``jax.devices()`` in a throwaway subprocess under a timeout.
+
+    The axon tunnel has documented outage windows during which even device
+    enumeration hangs forever at ~0% CPU (CLAUDE.md); a hung main process
+    records nothing.  The subprocess initializes and releases the device
+    client before this process touches jax device state."""
+    import subprocess
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+    code = ("import jax; d = jax.devices(); "
+            "print(d[0].platform, len(d))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=probe_timeout, capture_output=True,
+                           text=True)
+        if r.returncode == 0:
+            _STATE["extra"]["tunnel_probe"] = r.stdout.strip()[:40]
+            return True
+        _STATE["extra"]["tunnel_probe_rc"] = r.returncode
+        _STATE["extra"]["tunnel_probe_err"] = r.stderr.strip()[-200:]
+        return False
+    except subprocess.TimeoutExpired:
+        _STATE["extra"]["tunnel_probe_err"] = (
+            f"timeout after {probe_timeout:.0f}s (axon outage pattern)")
+        return False
+
 
 def main():
+    _install_guards()
+
+    bench_cpu = os.environ.get("BENCH_CPU", "0") == "1"
+    if not bench_cpu and os.environ.get("BENCH_TUNNEL_PROBE", "1") == "1":
+        if not _tunnel_probe():
+            _emit(0.0, "tunnel_down")
+            return
+
     import jax
-    if os.environ.get("BENCH_CPU", "0") == "1":
+    if bench_cpu:
         # the axon TPU plugin overrides JAX_PLATFORMS; force via config
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -52,7 +177,7 @@ def main():
         if verbose:
             print(*a, file=sys.stderr, flush=True)
 
-    model_name = os.environ.get("BENCH_MODEL", "MLICPP_S")
+    model_name = _STATE["model"]
     n_batches = int(os.environ.get("BENCH_IMAGES", "8"))
     # batch 128 default: the pipeline's per-batch costs are sync/RTT-bound
     # (same-window scaling 16/32/64/128 -> 2.94/5.50/7.19/8.58 img/s), so
@@ -86,6 +211,7 @@ def main():
               "or BENCH_ALLOW_RANDOM=1 to bench random-init weights — their "
               "escape-heavy streams are ~10x the trained rate and "
               "unrepresentative).", file=sys.stderr, flush=True)
+        _STATE["extra"]["error"] = "no_trained_checkpoint"
         sys.exit(2)
 
     model = get_model(model_name)
@@ -119,6 +245,32 @@ def main():
     t = time.perf_counter()
     codec.update()
     vlog(f"update: {time.perf_counter()-t:.1f}s")
+
+    # On-hardware bit-exactness check of the Pallas row-select kernel: the
+    # encode/decode bit-agreement invariant rides on it (CLAUDE.md), and
+    # interpret-mode CPU tests can't certify the Mosaic-compiled TPU body.
+    # Random table + rows, kernel vs the definitional table[row] gather.
+    try:
+        from mlic_tpu.ops.pallas_select import (select_rows_pallas,
+                                                use_pallas_select)
+        if use_pallas_select():
+            kt, kr = jax.random.split(jax.random.key(42))
+            tbl = jax.random.normal(kt, (66, 4), jnp.float32)
+            rows = jax.random.randint(kr, (8, 4096), 0, 66, jnp.int32)
+            got = select_rows_pallas(rows, tbl)
+            want = tbl[rows]  # gather: slow but definitional
+            ok = all(bool(jnp.all(g == want[..., j]))
+                     for j, g in enumerate(got))
+            assert ok, "pallas select != table[row] on hardware"
+            _STATE["extra"]["pallas_select_hw_check"] = "pass"
+            vlog("pallas select hw check: pass")
+        else:
+            _STATE["extra"]["pallas_select_hw_check"] = (
+                f"not_run_backend_{jax.default_backend()}")
+    except AssertionError:
+        raise
+    except Exception as e:  # no pallas path on this backend: record, go on
+        _STATE["extra"]["pallas_select_hw_check"] = f"skipped: {e!r}"[:120]
 
     images = []
     pool = None
@@ -161,7 +313,7 @@ def main():
     # HBM; the gather is a sub-ms on-device copy counted in the timed
     # sections).
     staged_seq = None
-    extra = {}
+    extra = _STATE["extra"]
     if backend == "device":
         try:
             dev = jax.devices()[0]
@@ -286,19 +438,37 @@ def main():
                 segs = int(os.environ.get("BENCH_STAGED_SEGS", "3"))
                 n_buf = len(staged_seq)
                 rates = []
+                st_bits = 0
                 for s_ in range(segs):
                     seq = [staged_seq[(s_ + k) % n_buf]
                            for k in range(n_batches)]
-                    st_elapsed, _, n_st = pipeline_run(seq)
+                    st_elapsed, seg_bits, n_st = pipeline_run(seq)
+                    st_bits = seg_bits  # any one segment's total
                     rates.append(n_st / st_elapsed)
                     vlog(f"staged seg{s_}: {rates[-1]:.2f} img/s")
+                    # deadline guard: keep what exists over more segments
+                    if _tleft() < 60 and len(rates) >= 1:
+                        extra["staged_segments_cut"] = segs - len(rates)
+                        break
                 extra["quiet_after"] = probe()
                 rates.sort()
                 extra["staged_img_s"] = round(rates[len(rates) // 2], 4)
                 extra["staged_best"] = round(rates[-1], 4)
                 extra["staged_worst"] = round(rates[0], 4)
-                extra["staged_segments"] = segs
+                extra["staged_segments"] = len(rates)
                 extra["staged_buffers"] = n_buf
+                bpp = st_bits / (n_batches * batch * h * w)
+                extra["bpp" if ckpt else "bpp_random_init"] = round(bpp, 4)
+                extra.update({
+                    "n_images": n_batches * batch, "batch": batch,
+                    "backend": backend, "ckpt": bool(ckpt),
+                    "device": str(jax.devices()[0]), "content": content,
+                    "fenced": True, "staged": staged})
+                # EMIT THE HEADLINE NOW: nothing measured later changes it,
+                # and r4 proved the later phases can outlive the driver
+                # budget.  A superseding line with the enc/dec split and
+                # the pipelined number follows if time allows.
+                _emit(extra["staged_img_s"], "staged_median")
             except Exception as e:  # the probe must never sink the bench
                 extra["staged_probe_error"] = repr(e)[:200]
         # Sequential probe for the enc/dec split (the reference times
@@ -306,39 +476,50 @@ def main():
         # utils/testing.py:403-424 + models/mlicpp.py:199-201 — so the
         # probe uses staged inputs when available).  Median of 3 so one
         # contended dispatch doesn't define the split.
-        et, dt = [], []
-        for k in range(3):
-            x_in = staged_seq[k % len(staged_seq)]() if staged_seq \
-                else images[1 + k % n_batches]
-            tb = time.perf_counter()
-            enc = codec.compress(x_in)
-            te = time.perf_counter()
-            dec = codec.decompress(enc["strings"], enc["shape"])
-            checksum = float(jnp.sum(dec["x_hat"]))
-            assert np.isfinite(checksum)
-            td = time.perf_counter()
-            et.append(te - tb)
-            dt.append(td - te)
-        med = lambda ts: sorted(ts)[len(ts) // 2]
-        extra["enc_img_s"] = round(batch / med(et), 4)
-        extra["dec_img_s"] = round(batch / med(dt), 4)
-        extra["split"] = ("sequential_probe_batch_median3_staged"
-                          if staged_seq else
-                          "sequential_probe_batch_median3")
+        if _tleft() > 60:
+            et, dt = [], []
+            for k in range(3):
+                x_in = staged_seq[k % len(staged_seq)]() if staged_seq \
+                    else images[1 + k % n_batches]
+                tb = time.perf_counter()
+                enc = codec.compress(x_in)
+                te = time.perf_counter()
+                dec = codec.decompress(enc["strings"], enc["shape"])
+                checksum = float(jnp.sum(dec["x_hat"]))
+                assert np.isfinite(checksum)
+                td = time.perf_counter()
+                et.append(te - tb)
+                dt.append(td - te)
+                if _tleft() < 45:
+                    break
+            med = lambda ts: sorted(ts)[len(ts) // 2]
+            extra["enc_img_s"] = round(batch / med(et), 4)
+            extra["dec_img_s"] = round(batch / med(dt), 4)
+            extra["split"] = ("sequential_probe_batch_median3_staged"
+                              if staged_seq else
+                              "sequential_probe_batch_median3")
+        else:
+            extra["split"] = "skipped_deadline"
         # Tunnel-inclusive pipelined phase LAST, under a time budget
-        # (BENCH_PIPELINE_BUDGET seconds, default 300): each batch uploads
-        # batch x 1.2 MB through the dev tunnel whose measured weather
-        # spans 0.3-60 MB/s; past the budget no new batch is issued and the
-        # rate is computed over the work that completed.
+        # (BENCH_PIPELINE_BUDGET seconds, default 300, further clamped by
+        # the global deadline): each batch uploads batch x 1.2 MB through
+        # the dev tunnel whose measured weather spans 0.3-60 MB/s; past the
+        # budget no new batch is issued and the rate is computed over the
+        # work that completed.
         budget = float(os.environ.get("BENCH_PIPELINE_BUDGET", "300"))
-        elapsed, total_bits, n_done = pipeline_run(
-            images[1:n_batches + 1], deadline=budget)
-        pipelined_img_s = n_done / elapsed
-        bpp = total_bits / (n_done * h * w)
-        extra["aggregation"] = "pipelined_aggregate"
-        if n_done < n:
-            extra["pipelined_batches_done"] = n_done // batch
-        n = n_done
+        budget = min(budget, max(0.0, _tleft() - 45.0))
+        if budget > 30:
+            elapsed, total_bits, n_done = pipeline_run(
+                images[1:n_batches + 1], deadline=budget)
+            pipelined_img_s = n_done / elapsed
+            bpp = total_bits / (n_done * h * w)
+            extra["aggregation"] = "pipelined_aggregate"
+            if n_done < n:
+                extra["pipelined_batches_done"] = n_done // batch
+            n = n_done
+        else:
+            extra["aggregation"] = "pipelined_skipped_deadline"
+            pipelined_img_s = None
     else:
         batch_times = []
         enc_times = []
@@ -379,32 +560,23 @@ def main():
             "worst": round(batch / bt[-1], 4),
             "mean": round(n / elapsed, 4)})
 
-    # Headline: the staged regime (codec capability, reference cost_time
-    # semantics — declared in BASELINE.md).  Falls back to the pipelined
-    # number, labeled, if the staged probe didn't run.
-    if staged:
-        value = pipelined_img_s  # main loop was staged (BENCH_STAGED=1)
-        extra["regime"] = "staged_main"
-    elif "staged_img_s" in extra:
-        value = extra["staged_img_s"]
-        extra["regime"] = "staged_median"
-        extra["pipelined_img_s"] = round(pipelined_img_s, 4)
-    else:
-        value = pipelined_img_s
-        extra["regime"] = "pipelined_fallback"
-
-    result = {
-        "metric": f"kodak_768x512_encdec_images_per_sec_per_chip[{model_name}]",
-        "value": round(value, 4),
-        "unit": "img/s",
-        "vs_baseline": round(value / 20.0, 4),
-        "extra": {("bpp" if ckpt else "bpp_random_init"): round(bpp, 4),
-                  "n_images": n, "batch": batch, "backend": backend,
+    # Final (superseding) line: the staged headline again when it exists,
+    # now with the enc/dec split and the pipelined extras; the pipelined
+    # number, labeled, otherwise (declared in BASELINE.md).
+    extra.setdefault("bpp" if ckpt else "bpp_random_init", round(bpp, 4))
+    extra.update({"n_images": n, "batch": batch, "backend": backend,
                   "ckpt": bool(ckpt), "device": str(jax.devices()[0]),
-                  "content": content, "fenced": True, "staged": staged,
-                  **extra},
-    }
-    print(json.dumps(result))
+                  "content": content, "fenced": True, "staged": staged})
+    if pipelined_img_s is not None:
+        extra["pipelined_img_s"] = round(pipelined_img_s, 4)
+    if staged:
+        _emit(pipelined_img_s, "staged_main")  # main loop was staged
+    elif "staged_img_s" in extra:
+        _emit(extra["staged_img_s"], "staged_median")
+    elif pipelined_img_s is not None:
+        _emit(pipelined_img_s, "pipelined_fallback")
+    # else: the early staged emission (if any) already stands; atexit
+    # fallback covers the nothing-measured case.
 
 
 if __name__ == "__main__":
