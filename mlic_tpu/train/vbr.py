@@ -53,8 +53,18 @@ def _is_gain(path) -> bool:
 
 
 def make_vbr_train_step(model: MLICPlusPlusVbr, tx: optax.GradientTransformation,
-                        cfg: TrainConfig) -> Callable:
-    """Jitted (state, batch) -> (state, metrics) training all levels at once."""
+                        cfg: TrainConfig, gradnorm: str = "none") -> Callable:
+    """Jitted (state, batch) -> (state, metrics) training all levels at once.
+
+    ``gradnorm="loss"`` enables MGDA-UB-style per-level normalization: each
+    level's shared gradient is scaled by 1/loss_s before the Gram matrix and
+    the combined direction.  Without it the high-lambda levels (whose raw RD
+    losses are an order of magnitude larger early in training) dominate the
+    min-norm direction, and the r3 run's quality tail saturated (~0.25 dB
+    across the top four levels, results/rd_vbr.json r3) — the same imbalance
+    the reference's per-level manual loop is exposed to but never corrects
+    (``compression_trainer.py:515-593``).
+    """
     lmbdas = jnp.asarray(model.cfg.lmbda, jnp.float32)
     n_levels = len(model.cfg.lmbda)
 
@@ -76,6 +86,17 @@ def make_vbr_train_step(model: MLICPlusPlusVbr, tx: optax.GradientTransformation
 
         grads_stack, losses, bpps = jax.lax.map(per_level, jnp.arange(n_levels))
 
+        # Per-level scale for the SHARED gradients: MGDA-UB (1/loss_s) when
+        # enabled, identity otherwise.  Gain grads are never scaled — they
+        # train per-level outside the min-norm combination.
+        if gradnorm == "loss":
+            scale = 1.0 / jnp.maximum(losses, 1e-6)
+        else:
+            scale = jnp.ones((n_levels,), jnp.float32)
+
+        def _scaled(g):
+            return g * scale.reshape((n_levels,) + (1,) * (g.ndim - 1))
+
         # Gram matrix of the SHARED gradients (Gain excluded — it trains
         # per-level, reference mlicpp_vbr.py:1138-1148).
         flat = jax.tree_util.tree_flatten_with_path(grads_stack)[0]
@@ -83,13 +104,15 @@ def make_vbr_train_step(model: MLICPlusPlusVbr, tx: optax.GradientTransformation
         for path, g in flat:
             if _is_gain(path):
                 continue
+            g = _scaled(g)
             gram = gram + jnp.einsum("i...,j...->ij", g, g)
         alpha = frank_wolfe_minnorm(gram)
 
         def combine(path, g):
             if _is_gain(path):
                 return jnp.sum(g, axis=0)        # per-level gain grads, summed
-            return jnp.tensordot(alpha, g, axes=1)  # MGDA-combined shared grad
+            # MGDA-combined shared grad over the (scaled) per-level grads
+            return jnp.tensordot(alpha, _scaled(g), axes=1)
 
         grads = jax.tree_util.tree_map_with_path(combine, grads_stack)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -74,6 +74,13 @@ def load_matching(params: Any, pretrained: Any) -> Any:
     for path, leaf in flat_p.items():
         cand = flat_q.get(path)
         if cand is not None and np.shape(cand) == np.shape(leaf):
+            # Cast to the target leaf's dtype: checkpoints may be stored
+            # bfloat16 to halve disk size (tools/make_bench_ckpt.py --bf16),
+            # while live params stay float32 (ModelConfig.transform_dtype
+            # touches compute only; the entropy path REQUIRES f32 params).
+            ld = np.asarray(leaf).dtype
+            if np.asarray(cand).dtype != ld:
+                cand = np.asarray(cand).astype(ld)
             out[path] = cand
         else:
             out[path] = leaf

@@ -234,3 +234,33 @@ def test_sd_vbr_forward_and_roundtrip():
     dec = codec.decompress(enc["strings"], enc["shape"], s=1)
     np.testing.assert_array_equal(np.asarray(enc["y_hat"]), np.asarray(dec["y_hat"]))
     np.testing.assert_array_equal(np.asarray(enc["x_hat"]), np.asarray(dec["x_hat"]))
+
+
+def test_vbr_train_step_gradnorm_loss():
+    """MGDA-UB per-level normalization (--vbr-gradnorm loss): one step runs,
+    alpha stays on the simplex, params move, and with train_gain=True the
+    Gain vector receives a (summed per-level) update."""
+    from mlic_tpu.train.optimizers import make_optimizer
+    from mlic_tpu.train.trainer import TrainConfig, TrainState
+    from mlic_tpu.train.vbr import make_vbr_train_step
+
+    cfg_m = dataclasses.replace(TINY_VBR, train_gain=True)
+    model = MLICPlusPlusVbr(cfg=cfg_m)
+    x = jax.random.uniform(jax.random.key(3), (2, 64, 64, 3))
+    params = jax.jit(lambda r, v: model.init(r, v, True, 2, 1))(
+        {"params": jax.random.key(4), "noise": jax.random.key(5)}, x)["params"]
+    cfg = TrainConfig(lmbda=0.013)
+    tx = make_optimizer(cfg.learning_rate, cfg.aux_learning_rate,
+                        cfg.clip_max_norm, cfg.optimizer)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=jax.jit(tx.init)(params),
+                       rng=jax.random.key(6))
+    step = make_vbr_train_step(model, tx, cfg, gradnorm="loss")
+    new_state, metrics = step(state, x)
+    alpha = np.asarray(metrics["alpha"])
+    assert np.all(alpha >= -1e-6) and abs(alpha.sum() - 1.0) < 1e-4
+    assert np.isfinite(float(metrics["loss"]))
+    # params moved
+    l0 = jax.tree_util.tree_leaves(params)[0]
+    l1 = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))

@@ -65,6 +65,11 @@ def parse_args(argv=None):
                    help="STEP:SIZE pairs; at STEP, switch the training patch "
                         "size (reference two-stage 256->512 recipe)")
     p.add_argument("--vbr", action="store_true", help="VBR multi-rate (MGDA) training")
+    p.add_argument("--train-gain", action="store_true",
+                   help="let gradients flow into the Gain vector (the "
+                   "reference detaches it; see ModelConfig.train_gain)")
+    p.add_argument("--vbr-gradnorm", default="none", choices=["none", "loss"],
+                   help="MGDA-UB per-level gradient normalization (1/loss)")
     p.add_argument("--dual", action="store_true",
                    help="two-pass recompression training (train_one_epoch_dual)")
     p.add_argument("--warmup-steps", type=int, default=0)
@@ -122,10 +127,14 @@ def main(argv=None):
         # in-program A/B): bfloat16_mixed 21.6-21.7 vs fp32 24.2-24.3
         # ms/step.  CPU keeps fp32 (bf16 is emulated there).
         args.transform_dtype = "float32" if args.cpu else "bfloat16_mixed"
-    if args.transform_dtype:
+    if args.transform_dtype or args.train_gain:
         import dataclasses
-        model = type(model)(cfg=dataclasses.replace(
-            model.cfg, transform_dtype=args.transform_dtype))
+        repl = {}
+        if args.transform_dtype:
+            repl["transform_dtype"] = args.transform_dtype
+        if args.train_gain:
+            repl["train_gain"] = True
+        model = type(model)(cfg=dataclasses.replace(model.cfg, **repl))
     cfg = TrainConfig(
         lmbda=args.lmbda, metric=args.metrics, learning_rate=args.learning_rate,
         aux_learning_rate=args.aux_learning_rate, clip_max_norm=args.clip_max_norm,
@@ -139,7 +148,8 @@ def main(argv=None):
         tx = freeze(tx, args.freeze)
     if args.vbr:
         from mlic_tpu.train.vbr import make_vbr_train_step
-        step_fn = make_vbr_train_step(model, tx, cfg)
+        step_fn = make_vbr_train_step(model, tx, cfg,
+                                      gradnorm=args.vbr_gradnorm)
     elif args.dual:
         from mlic_tpu.train.trainer import make_dual_train_step
         step_fn = make_dual_train_step(model, tx, cfg)
