@@ -27,7 +27,7 @@ last_ckpt() {
 run() {  # run <budget_s> <logfile> cmd...
   local budget=$1 lf=$2; shift 2
   log "RUN (${budget}s): $*"
-  timeout "$budget" "$@" > "$lf" 2>&1
+  timeout -k 60 "$budget" "$@" > "$lf" 2>&1
   log "exit $? ($lf)"
 }
 
