@@ -280,11 +280,24 @@ def main(argv=None):
             if step % args.log_freq == 0:
                 vals = {k: float(v) for k, v in metrics.items()
                         if getattr(v, "ndim", 0) == 0}
+                # Short vector metrics (VBR per-level losses / Frank-Wolfe
+                # alpha) are monitoring signals, not noise — print inline
+                # and write per-index rows (VERDICT r4 item 4: watch the
+                # per-level alpha for tail starvation).
+                vecs = {k: np.asarray(v) for k, v in metrics.items()
+                        if getattr(v, "ndim", 0) == 1 and np.size(v) <= 8}
                 dt = (time.perf_counter() - t0) / args.log_freq
                 print(f"step {step} | {dt*1e3:.0f} ms/it | " +
-                      " ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items())),
+                      " ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items()))
+                      + ("" if not vecs else " " + " ".join(
+                          f"{k}=[" + ",".join(f"{x:.3f}" for x in v) + "]"
+                          for k, v in sorted(vecs.items()))),
                       flush=True)
-                writer.write(step, vals, prefix="train/")
+                writer.write(step, {**vals,
+                                    **{f"{k}_{i}": float(x)
+                                       for k, v in vecs.items()
+                                       for i, x in enumerate(v)}},
+                             prefix="train/")
                 t0 = time.perf_counter()
             if args.val_every and step % args.val_every == 0:
                 validate(step)
