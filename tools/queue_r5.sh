@@ -134,7 +134,8 @@ fi
 T=$(tleft)
 if [ "$T" -gt 900 ] && [ -d ckpts/bench_default_MLICPP_L ]; then
   run $(( T > 2400 ? 2400 : T )) /tmp/q_lbench.log \
-      env BENCH_MODEL=MLICPP_L BENCH_VERBOSE=1 BENCH_PIPELINE_BUDGET=60 \
+      env BENCH_MODEL=MLICPP_L BENCH_BATCH=32 BENCH_VERBOSE=1 \
+      BENCH_PIPELINE_BUDGET=60 \
       BENCH_OUT=results/bench_r5_staged_l.jsonl python bench.py
 fi
 
