@@ -272,6 +272,38 @@ def main():
     except Exception as e:  # no pallas path on this backend: record, go on
         _STATE["extra"]["pallas_select_hw_check"] = f"skipped: {e!r}"[:120]
 
+    # Optional fused residual-block kernel (MLIC_FUSED_BLOCKS=1, opt-in —
+    # ops/pallas_fused_block).  Unlike the select kernel it does real
+    # arithmetic, so on-hardware it's certified against the flax lowering
+    # within a small tolerance; on failure the knob is turned OFF and the
+    # bench proceeds on the flax path.
+    try:
+        from mlic_tpu.ops.pallas_fused_block import use_fused_blocks
+        if use_fused_blocks():
+            from mlic_tpu.models.layers import ResidualBlockWithStride
+            mod = ResidualBlockWithStride(features=96, stride=2)
+            xs = jax.random.normal(jax.random.key(7), (1, 64, 64, 8),
+                                   jnp.float32)
+            p = jax.jit(mod.init)(jax.random.key(8), xs)
+            # two distinct jitted closures: the env knob is read at trace
+            # time, so each compiles its own lowering
+            fused_out = np.asarray(jax.jit(lambda v, q: mod.apply(v, q))(p, xs))
+            os.environ["MLIC_FUSED_BLOCKS"] = "0"
+            ref_out = np.asarray(jax.jit(lambda v, q: mod.apply(v, q))(p, xs))
+            os.environ["MLIC_FUSED_BLOCKS"] = "1"
+            err = float(np.max(np.abs(fused_out - ref_out)))
+            if err < 1e-3:
+                _STATE["extra"]["fused_blocks_hw_check"] = (
+                    f"pass maxerr={err:.2e}")
+                vlog(f"fused blocks hw check: pass ({err:.2e})")
+            else:
+                os.environ["MLIC_FUSED_BLOCKS"] = "0"
+                _STATE["extra"]["fused_blocks_hw_check"] = (
+                    f"FAIL maxerr={err:.2e} -> disabled")
+    except Exception as e:
+        os.environ["MLIC_FUSED_BLOCKS"] = "0"
+        _STATE["extra"]["fused_blocks_hw_check"] = f"error->off: {e!r}"[:120]
+
     images = []
     pool = None
     if content == "dead_leaves":

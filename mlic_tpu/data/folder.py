@@ -131,7 +131,12 @@ def dead_leaves_pool(n_images: int, size: int, seed: int = 0,
     if width is None:
         width = size
     if cache_dir is None:
-        cache_dir = os.environ.get("MLIC_POOL_CACHE", "/tmp/mlic_pool_cache")
+        # ~/.cache (not /tmp): /tmp is wiped on host restarts and the
+        # 512-image render takes minutes on the single host core.
+        cache_dir = os.environ.get(
+            "MLIC_POOL_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "mlic_pool_cache"))
     cache = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)

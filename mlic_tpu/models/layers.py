@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mlic_tpu.ops.math import lower_bound
+from mlic_tpu.ops.pallas_fused_block import fused_block_tail, use_fused_blocks
 
 
 class DepthwiseConv2D(nn.Module):
@@ -205,6 +206,40 @@ class GDN(nn.Module):
         return out.astype(in_dtype)
 
 
+def _gdn_effective(gdn: "GDN", raw_beta, raw_gamma):
+    """GDN's post-reparam (effective) gamma/beta, for the fused kernel."""
+    ped = gdn._offset ** 2
+    beta = lower_bound(raw_beta, (gdn.beta_min + ped) ** 0.5) ** 2 - ped
+    gamma = lower_bound(raw_gamma, ped ** 0.5) ** 2 - ped
+    return gamma, beta
+
+
+def _fused_tail(mod: nn.Module, mid, skip, conv_name: str, act: str,
+                gdn: "GDN | None" = None, gdn_name: str = ""):
+    """The Pallas fused block tail for a residual block, or None.
+
+    Opt-in (MLIC_FUSED_BLOCKS=1, codec/bench only — forward-only kernel),
+    depthwise variants only, and only when the GDN dtype policy matches
+    what the kernel computes (all-f32, or the bf16-mixed policy)."""
+    if not (use_fused_blocks() and mod.depthwise
+            and not mod.is_initializing()):
+        return None
+    if act != "gelu":
+        policy_ok = ((gdn.dtype is None and mid.dtype == jnp.float32)
+                     or gdn.dtype == mid.dtype)
+        if not policy_ok:
+            return None
+    pr = mod.variables["params"]
+    c2 = pr[conv_name]["dw"]
+    gamma = beta = None
+    if act != "gelu":
+        gamma, beta = _gdn_effective(gdn, pr[gdn_name]["beta"],
+                                     pr[gdn_name]["gamma"])
+    return fused_block_tail(
+        mid, skip, c2["depth"]["kernel"], c2["depth"]["bias"],
+        c2["point"]["kernel"], c2["point"]["bias"], gamma, beta, act=act)
+
+
 class ResidualBlockWithStride(nn.Module):
     """conv3x3(s) - GELU - conv3x3 - GDN + 1x1 strided skip
     (reference ``res_blk.py:62-93``)."""
@@ -217,15 +252,19 @@ class ResidualBlockWithStride(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = Conv3x3(self.features, self.stride, self.depthwise,
+        mid = Conv3x3(self.features, self.stride, self.depthwise,
                       dtype=self.dtype, name="conv1")(x)
-        out = nn.gelu(out)
+        out = nn.gelu(mid)
         out = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
                       name="conv2")(out)
-        out = GDN(dtype=self.gdn_dtype, name="gdn")(out)
+        gdn = GDN(dtype=self.gdn_dtype, name="gdn")
+        out = gdn(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = conv1x1(self.features, self.stride, dtype=self.dtype,
                         name="skip")(x)
+        fused = _fused_tail(self, mid, x, "conv2", "gdn", gdn, "gdn")
+        if fused is not None:
+            return fused  # the flax tail above is dead code -> XLA DCE
         return out + x
 
 
@@ -240,14 +279,18 @@ class ResidualBlockUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = SubpelConv3x3(self.features, self.upsample, dtype=self.dtype,
+        mid = SubpelConv3x3(self.features, self.upsample, dtype=self.dtype,
                             name="subpel")(x)
-        out = nn.gelu(out)
+        out = nn.gelu(mid)
         out = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
                       name="conv")(out)
-        out = GDN(inverse=True, dtype=self.gdn_dtype, name="igdn")(out)
+        gdn = GDN(inverse=True, dtype=self.gdn_dtype, name="igdn")
+        out = gdn(out)
         skip = SubpelConv3x3(self.features, self.upsample, dtype=self.dtype,
                              name="upsample")(x)
+        fused = _fused_tail(self, mid, skip, "conv", "igdn", gdn, "igdn")
+        if fused is not None:
+            return fused
         return out + skip
 
 
@@ -260,14 +303,17 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
+        mid = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.gelu(out)
+        out = nn.gelu(mid)
         out = Conv3x3(self.features, 1, self.depthwise, dtype=self.dtype,
                       name="conv2")(out)
         out = nn.gelu(out)
         if x.shape[-1] != self.features:
             x = conv1x1(self.features, dtype=self.dtype, name="skip")(x)
+        fused = _fused_tail(self, mid, x, "conv2", "gelu")
+        if fused is not None:
+            return fused
         return out + x
 
 

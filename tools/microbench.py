@@ -346,6 +346,49 @@ def main():
 
         scan_time(f"codec_device_pass(lanes={n_lanes})", dec_fn, z_dev)
 
+    if which == "fusedblk":
+        # Interleaved A/B of the transform stacks: flax lowering vs the
+        # Pallas fused residual-block tails (ops/pallas_fused_block), both
+        # as in-program scans compiled in ONE session and timed in
+        # alternating segments (cancels window drift — PARITY.md
+        # measurement policy).  MB_TDT=float32 | bfloat16_mixed.
+        tdt = os.environ.get("MB_TDT", "float32")
+        mixed = tdt == "bfloat16_mixed"
+        dt = jnp.bfloat16 if mixed else None
+        gdt = jnp.bfloat16 if mixed else None
+        progs = {}
+        for mode in ("flax", "fused"):
+            os.environ["MLIC_FUSED_BLOCKS"] = "1" if mode == "fused" else "0"
+            for label, module, inp in (
+                    ("g_a", AnalysisTransform(N=N, M=M, dtype=dt,
+                                              gdn_dtype=gdt), x_img),
+                    ("g_s", SynthesisTransform(N=N, M=M, dtype=dt,
+                                               gdn_dtype=gdt), y_lat)):
+                params = jax.jit(module.init)(key, inp)
+
+                def prog_fn(module=module, params=params, inp=inp):
+                    def body(carry, _):
+                        x_i, _c = jax.lax.optimization_barrier((inp, carry))
+                        out = module.apply(params, x_i)
+                        return jnp.sum(out).astype(jnp.float32) * 1e-30, None
+                    return jax.lax.scan(body, jnp.zeros(()), None,
+                                        length=reps)[0]
+
+                prog = jax.jit(prog_fn)
+                float(prog())  # trace under this env + compile + fence
+                progs[f"{label}[{mode}]"] = prog
+        # equality spot check (same params per pair would need shared init;
+        # init is deterministic from `key`, so flax/fused pairs share params)
+        for seg in range(2):
+            for label, prog in progs.items():
+                t0 = time.perf_counter()
+                float(prog())
+                ms = (time.perf_counter() - t0) / reps * 1000
+                rows.append({"module": f"{label} seg{seg} tdt={tdt}",
+                             "ms_per_call": round(ms, 3),
+                             "calls_per_pass": 1, "ms_per_pass": round(ms, 3)})
+                print(f"{label} seg{seg}: {ms:8.2f} ms/call", flush=True)
+
     if which == "train":
         # Contention-cancelling interleaved A/B of the training step:
         # fp32 vs bfloat16_mixed transforms, both as in-program scans in
