@@ -26,12 +26,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(src: str, dst: str = "ckpts/bench_default", bf16: bool = False):
     import jax
+    # disk->disk transform: keep it off the TPU (the axon plugin overrides
+    # JAX_PLATFORMS; on-device casting would round-trip 334 MB of params
+    # through the dev tunnel, and a co-running TPU job would wedge both)
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     import orbax.checkpoint as ocp
 
-    ck = ocp.StandardCheckpointer()
-    raw = ck.restore(os.path.abspath(src))
+    # numpy-typed restore: a StandardCheckpointer restore resolves the
+    # SAVED sharding metadata, which names the TPU device and fails on the
+    # CPU platform ("Device TPU v5 lite0 was not found")
+    ck = ocp.PyTreeCheckpointer()
+    meta = ck.metadata(os.path.abspath(src)).item_metadata
+    ra = jax.tree_util.tree_map(
+        lambda m: ocp.RestoreArgs(restore_type=np.ndarray),
+        getattr(meta, "tree", meta))
+    raw = ck.restore(os.path.abspath(src), restore_args=ra)
     params = raw["params"] if "params" in raw else raw
     if bf16:
         params = jax.tree_util.tree_map(
@@ -40,7 +51,8 @@ def main(src: str, dst: str = "ckpts/bench_default", bf16: bool = False):
     if os.path.exists(dst):
         shutil.rmtree(dst)
     ck.save(dst, {"params": params})
-    ck.wait_until_finished()
+    if hasattr(ck, "wait_until_finished"):
+        ck.wait_until_finished()
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"wrote {dst}: {n/1e6:.2f} M params"
           + (" (bfloat16 storage)" if bf16 else ""))
