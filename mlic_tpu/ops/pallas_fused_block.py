@@ -70,7 +70,7 @@ def _pick_tiles(h: int, w: int, c: int, itemsize: int):
             if w % wt:
                 continue
             # halo tile + gelu copy + matmul temps + 2x2 pipelined blocks
-            words = (t + 2) * (wt + 2) * cp * 2 + 9 * t * wt * cp
+            words = (t + 2) * (wt + 8) * cp * 2 + 9 * t * wt * cp
             if words * itemsize <= _VMEM_BUDGET:
                 return t, wt
     return None
@@ -85,12 +85,15 @@ def _kernel(midp_ref, skip_ref, dw_ref, bdw_ref, pw_ref, bpw_ref,
     j = pl.program_id(2)
 
     def body(mtile, sem):
+        # Column halo is DMA'd as an ALIGNED superset (wt+8 wide at an
+        # 8-aligned offset — Mosaic requires 8-sublane / 128-lane aligned
+        # slices); the 6 spare columns are simply never read below.
         dma = pltpu.make_async_copy(
-            midp_ref.at[b, pl.ds(i * t, t + 2), pl.ds(j * wt, wt + 2)],
+            midp_ref.at[b, pl.ds(i * t, t + 2), pl.ds(j * wt, wt + 8)],
             mtile, sem)
         dma.start()
         dma.wait()
-        g = jax.nn.gelu(mtile[:])  # [T+2, WT+2, C]; gelu(pad 0) == 0
+        g = jax.nn.gelu(mtile[:])  # [T+2, WT+8, C]; gelu(pad 0) == 0
         acc = None
         for di in range(3):
             for dj in range(3):
@@ -116,7 +119,7 @@ def _kernel(midp_ref, skip_ref, dw_ref, bdw_ref, pw_ref, bpw_ref,
 
     pl.run_scoped(
         body,
-        mtile=pltpu.VMEM((t + 2, wt + 2, midp_ref.shape[-1]),
+        mtile=pltpu.VMEM((t + 2, wt + 8, midp_ref.shape[-1]),
                          midp_ref.dtype),
         sem=pltpu.SemaphoreType.DMA(()),
     )
@@ -126,7 +129,7 @@ def _kernel(midp_ref, skip_ref, dw_ref, bdw_ref, pw_ref, bpw_ref,
 def _call(midp, skip, dw, bdw, pw, bpw, gamma, beta, act: str, t: int,
           wt: int):
     b, hp, wp, c = midp.shape
-    h, w = hp - 2, wp - 2
+    h, w = hp - 2, wp - 8  # rows halo-padded +2, cols aligned-padded +8
     n_out = pw.shape[-1]
     blk = pl.BlockSpec((1, t, wt, n_out),
                        lambda bi, ti, wi: (bi, ti, wi, 0),
@@ -164,13 +167,33 @@ def fused_block_tail(mid, skip, dw_kernel, dw_bias, pw_kernel, pw_bias,
         return None
     t, wt = tiles
     dt = mid.dtype
-    midp = jnp.pad(mid, ((0, 0), (1, 1), (1, 1), (0, 0)))
     if act == "gelu":
         gamma = jnp.zeros((n_out, n_out), jnp.float32)
         beta = jnp.zeros((n_out,), jnp.float32)
-    return _call(
-        midp, skip.astype(dt),
-        dw_kernel.reshape(9, c).astype(dt), dw_bias.astype(dt),
-        pw_kernel.reshape(c, n_out).astype(dt), pw_bias.astype(jnp.float32),
-        gamma.astype(jnp.float32), beta.astype(jnp.float32),
+    # Mosaic requires HBM slices (and healthy MXU operands) to be
+    # 128-lane-aligned in the minor dim; production channel counts
+    # (96/192/320) are not.  Zero-pad channels to the lane tile: gelu(0)=0
+    # and zero-padded dw/pw weights keep padded input lanes inert; padded
+    # OUTPUT lanes get beta=1 (norm=1 -> fac=1 -> y stays 0, avoiding
+    # rsqrt(0)=inf NaNs in discarded lanes) and are sliced away below.
+    cp = -(-c // 128) * 128
+    npad = -(-n_out // 128) * 128
+    dw9 = jnp.pad(dw_kernel.reshape(9, c), ((0, 0), (0, cp - c)))
+    bdw = jnp.pad(dw_bias, (0, cp - c))
+    pwm = jnp.pad(pw_kernel.reshape(c, n_out),
+                  ((0, cp - c), (0, npad - n_out)))
+    bpw = jnp.pad(pw_bias, (0, npad - n_out))
+    gam = jnp.pad(gamma, ((0, npad - n_out), (0, npad - n_out)))
+    bet = jnp.pad(beta, (0, npad - n_out), constant_values=1.0)
+    # Rows get the plain 3x3 halo pad; columns pad to (1, 7) so every
+    # tile's aligned wt+8 DMA window stays in bounds (last tile reads
+    # [w - wt, w + 8)).
+    midp = jnp.pad(mid, ((0, 0), (1, 1), (1, 7), (0, cp - c)))
+    skipp = jnp.pad(skip, ((0, 0), (0, 0), (0, 0), (0, npad - n_out)))
+    out = _call(
+        midp, skipp.astype(dt),
+        dw9.astype(dt), bdw.astype(dt),
+        pwm.astype(dt), bpw.astype(jnp.float32),
+        gam.astype(jnp.float32), bet.astype(jnp.float32),
         act, t, wt)
+    return out[..., :n_out] if npad != n_out else out
